@@ -1,0 +1,337 @@
+"""Pallas TPU kernel for the frame Viterbi (score mode) — the hot loop.
+
+Re-architecture of the reference's striped SIMD kernel
+(c-core/viterbi.c:451-600) for the TPU VPU:
+
+  * lanes (minor dim)    = profile nodes K, padded to 128 multiples —
+    the analog of the reference's SIMD striping (viterbi.c:195-221), but
+    1024-wide per vreg instead of 8/16, with no striping needed: the
+    delete-chain "lazy-F" fixup loop (viterbi.c:561-580) becomes a
+    lane-space min-plus prefix scan (log2 K shifted mins, same fixpoint);
+  * sublanes             = W windows scanned simultaneously against the
+    same profile (the reference scans windows serially per thread);
+  * 5-slot rolling state = the emission-duration ring (viterbi.c:160
+    extr_state[6] rings), stored slot-major in VMEM scratch and addressed
+    by (l mod 5) — min-reductions over slots are order-free, so no
+    rotation copies are ever made;
+  * emission lookups     = in-kernel dynamic row gathers from a
+    VMEM-resident extended table (1364 x K'), with the null and background
+    scalar tables embedded as two extra lanes (columns K'-2, K'-1) so one
+    gather per (duration, window) feeds the core M/I updates *and* the
+    special-state / null-model updates with pure vector math;
+  * fragment codes stream through SMEM blocks (the only scalar memory),
+    grid-pipelined per l-block; everything else stays on-chip.
+
+The scalar null model (viterbi.c:696-719) runs in the same kernel on the
+spare sublane capacity (ring R), so one pass yields both costs of the LRT.
+
+Outputs are bit-stable f32 costs; parity with the lax.scan engine
+(ops/viterbi_jax.py) is asserted in tests/test_pallas.py, which itself is
+validated against exhaustive path enumeration (ops/bruteforce.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..frame import TABLE_SIZE
+from ..xtrans import (XT_CC, XT_CT, XT_EB, XT_EC, XT_EJ, XT_ET, XT_JB, XT_JJ,
+                      XT_NB, XT_NN, XT_RR, XT_SB, XT_SN)
+from .costs import (CT_BM, CT_DD, CT_DM, CT_II, CT_IM, CT_MD, CT_MI, CT_MM,
+                    ViterbiCosts)
+
+INF = float("inf")  # Python float: avoids captured-constant tracing in the kernel
+NEG_BIG = np.float32(1e30)  # DD saturation (matches ops/viterbi_jax.py)
+
+W = 8  # windows per group (sublane dim)
+KAPPA = 32  # positions per l-block (codes SMEM block)
+
+# tvec row indices: transition vectors pre-laid-out for the kernel.
+TV_BM, TV_MMS, TV_MI, TV_MD, TV_IMS, TV_II, TV_DMS, TV_DDCUM = range(8)
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_tables(costs: ViterbiCosts, Kp: int | None = None):
+    """Extended emission table + transition vectors for the kernel.
+
+    Returns (table (1364, K') f32, tvec (8, K') f32) where K' = K rounded
+    up to 128 plus one extra 128-lane group; lanes K..K'-3 are +inf pads,
+    lane K'-2 carries the null emission costs and lane K'-1 the background
+    (insert) emission costs, so the per-(t,w) row gather also fetches the
+    scalar-table values the special states need.
+    """
+    K = costs.K
+    if Kp is None:
+        Kp = round_up(K, 128) + 128
+    assert Kp >= K + 2
+    table = np.full((TABLE_SIZE, Kp), np.inf, np.float32)
+    table[:, :K] = costs.match
+    table[:, Kp - 2] = costs.null
+    table[:, Kp - 1] = costs.background
+
+    core = costs.core
+    tvec = np.full((8, Kp), np.inf, np.float32)
+    tvec[TV_BM, :K] = core[CT_BM]
+    # source-indexed, shifted: MMs[k] = MM[k+1] (entering node k+1 from k)
+    tvec[TV_MMS, : K - 1] = core[CT_MM, 1:]
+    tvec[TV_IMS, : K - 1] = core[CT_IM, 1:]
+    tvec[TV_DMS, : K - 1] = core[CT_DM, 1:]
+    # dest-indexed
+    tvec[TV_MI, :K] = core[CT_MI]
+    tvec[TV_II, :K] = core[CT_II]
+    tvec[TV_MD, :K] = core[CT_MD]
+    # saturated DD cumulative sum for the prefix-scan delete chain
+    ddc = np.zeros(Kp, np.float32)
+    ddc[1:K] = np.minimum(core[CT_DD, 1:K], NEG_BIG)
+    ddc[K:] = NEG_BIG
+    tvec[TV_DDCUM] = np.cumsum(ddc, dtype=np.float64).astype(np.float32)
+    return table, tvec
+
+
+def common_kp(costs_list: list[ViterbiCosts]) -> int:
+    return round_up(max(c.K for c in costs_list), 128) + 128
+
+
+def _lane_shift1(x, lane_idx):
+    """out[..., k] = x[..., k-1]; +inf shifted into lane 0."""
+    rolled = pltpu.roll(x, 1, axis=x.ndim - 1)
+    return jnp.where(lane_idx >= 1, rolled, INF)
+
+
+def _lane_cummin(x, lane_idx, Kp):
+    """Per-row prefix min along lanes (the delete-chain scan)."""
+    sh = 1
+    while sh < Kp:
+        rolled = pltpu.roll(x, sh, axis=x.ndim - 1)
+        x = jnp.minimum(x, jnp.where(lane_idx >= sh, rolled, INF))
+        sh *= 2
+    return x
+
+
+def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
+            alt_ref, null_ref,
+            MA, M, I, D, SML, Tfin, Rfin, *, kappa, num_lblocks, Kp):
+    """Grid: (P, WG, NLB).  SML packs the small (5, W, 1) rings:
+    axis0 = [S, B, N, J, C, E, R]."""
+    nlb = pl.program_id(2)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W, Kp), 2)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (W, Kp), 1)
+    xt = xt_ref[0]  # (W, 16)
+
+    def xtc(j):  # (W, 1) per-window special transition cost
+        return xt[:, j:j + 1]
+
+    @pl.when(nlb == 0)
+    def _init():
+        M[...] = jnp.full((5, W, Kp), INF)
+        I[...] = jnp.full((5, W, Kp), INF)
+        D[...] = jnp.full((5, W, Kp), INF)
+        SML[...] = jnp.full((7, 5, W, 1), INF)
+        # stage-0 seeds, slot(0) = 0: S_0 = 0; B_0 = SB; R_0 = -RR
+        SML[0:1, 0:1] = jnp.zeros((1, 1, W, 1))
+        SML[1:2, 0:1] = xtc(XT_SB)[None, None]
+        SML[6:7, 0:1] = -xtc(XT_RR)[None, None]
+        Tfin[...] = jnp.full((W, 1), INF)
+        Rfin[...] = jnp.full((W, 1), INF)
+
+    def step(i, _):
+        l = nlb * kappa + i + 1  # 1-based DP position
+
+        # ---- gather emission rows into slot-major scratch ----
+        for t in range(1, 6):
+            slot_t = jax.lax.rem(l - t + 10, 5)
+            for w in range(W):
+                c = codes_ref[0, 0, i, t - 1, w]
+                row = table_ref[0, pl.ds(c, 1), :]  # (1, Kp)
+                MA[pl.ds(slot_t, 1), pl.ds(w, 1), :] = row.reshape(1, 1, Kp)
+
+        ma = MA[...]  # (5, W, Kp)
+        nil = ma[:, :, Kp - 2:Kp - 1]  # (5, W, 1)
+        bg = ma[:, :, Kp - 1:Kp]
+
+        Mr, Ir, Dr = M[...], I[...], D[...]
+        Sr = SML[0]
+        Br = SML[1]
+        Nr = SML[2]
+        Jr = SML[3]
+        Cr = SML[4]
+        Er = SML[5]
+        Rr = SML[6]
+
+        # ---- core M ----
+        inner = jnp.minimum(
+            jnp.minimum(Mr + tvec_ref[0, TV_MMS], Ir + tvec_ref[0, TV_IMS]),
+            Dr + tvec_ref[0, TV_DMS])  # source coords k-1
+        shifted = _lane_shift1(inner, lane)
+        bcand = Br + tvec_ref[0, TV_BM]  # (5,W,1)+(Kp,) -> (5,W,Kp)
+        M_l = jnp.min(jnp.minimum(shifted, bcand) + ma, axis=0)  # (W, Kp)
+
+        # ---- core I ----
+        icand = jnp.minimum(Ir + tvec_ref[0, TV_II], Mr + tvec_ref[0, TV_MI])
+        I_l = jnp.min(icand + bg, axis=0)
+
+        # ---- delete chain: D[k] = min(A[k], D[k-1]+DD[k]) via prefix scan
+        A = _lane_shift1(M_l, lane2) + tvec_ref[0, TV_MD]
+        ddcum = tvec_ref[0, TV_DDCUM]
+        G = A - ddcum
+        D_l = _lane_cummin(G, lane2, Kp) + ddcum
+
+        # ---- specials (all (W, 1) vector math) ----
+        E_l = jnp.minimum(jnp.min(M_l, axis=1, keepdims=True),
+                          jnp.min(D_l, axis=1, keepdims=True))
+        N_l = jnp.min(jnp.minimum(Sr + xtc(XT_SN), Nr + xtc(XT_NN)) + nil,
+                      axis=0)
+        J_l = jnp.min(jnp.minimum(Er + xtc(XT_EJ), Jr + xtc(XT_JJ)) + nil,
+                      axis=0)
+        C_l = jnp.min(jnp.minimum(Er + xtc(XT_EC), Cr + xtc(XT_CC)) + nil,
+                      axis=0)
+        B_l = jnp.minimum(jnp.minimum(N_l + xtc(XT_NB), E_l + xtc(XT_EB)),
+                          J_l + xtc(XT_JB))
+        T_l = jnp.minimum(E_l + xtc(XT_ET), C_l + xtc(XT_CT))
+        R_l = jnp.min(Rr + nil, axis=0) + xtc(XT_RR)
+
+        # ---- capture costs at each window's final position ----
+        at_end = len_ref[0] == l  # (W, 1) bool
+        Tfin[...] = jnp.where(at_end, T_l, Tfin[...])
+        Rfin[...] = jnp.where(at_end, R_l, Rfin[...])
+
+        # ---- ring writes at slot(l) ----
+        slot = jax.lax.rem(l, 5)
+        M[pl.ds(slot, 1)] = M_l[None]
+        I[pl.ds(slot, 1)] = I_l[None]
+        D[pl.ds(slot, 1)] = D_l[None]
+        smalls = jnp.stack([jnp.full((W, 1), INF), B_l, N_l, J_l, C_l,
+                            E_l, R_l])  # S_l = inf for l >= 1
+        SML[:, pl.ds(slot, 1)] = smalls[:, None]
+        return 0
+
+    jax.lax.fori_loop(0, kappa, step, 0)
+
+    # Written every l-block; the final block's values land last (the
+    # output block index only changes with p/wg, so this is cheap).
+    alt_ref[0, 0] = Tfin[...]
+    null_ref[0, 0] = Rfin[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kappa", "interpret"))
+def viterbi_scores_grid(tables, tvecs, xts, lengths, codes, *, kappa=KAPPA,
+                        interpret=False):
+    """Run the kernel over a (P profiles, WG window-groups, NLB) grid.
+
+    Args:
+      tables: (P, 1364, Kp) f32 extended emission tables.
+      tvecs: (P, 8, Kp) f32 transition vectors.
+      xts: (WG, W, 16) f32 per-window special costs (13 used, padded).
+      lengths: (WG, W, 1) int32 window lengths (0 => unused pad slot).
+      codes: (WG, NLB, kappa, 5, W) int32 fragment codes.
+
+    Returns (alt, null): (P, WG, W) f32 min-plus costs (+inf for pads).
+    """
+    P, _, Kp = tables.shape
+    WG, NLB = codes.shape[0], codes.shape[1]
+    kernel = functools.partial(_kernel, kappa=kappa, num_lblocks=NLB, Kp=Kp)
+    grid = (P, WG, NLB)
+    out_shape = [
+        jax.ShapeDtypeStruct((P, WG, W, 1), jnp.float32),
+        jax.ShapeDtypeStruct((P, WG, W, 1), jnp.float32),
+    ]
+    alt, nul = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, kappa, 5, W), lambda p, wg, nlb: (wg, nlb, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TABLE_SIZE, Kp), lambda p, wg, nlb: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Kp), lambda p, wg, nlb: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, 16), lambda p, wg, nlb: (wg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, 1), lambda p, wg, nlb: (wg, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, W, 1), lambda p, wg, nlb: (p, wg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 1), lambda p, wg, nlb: (p, wg, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # MA (gathered emissions)
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # M ring
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # I ring
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # D ring
+            pltpu.VMEM((7, 5, W, 1), jnp.float32),  # small rings S B N J C E R
+            pltpu.VMEM((W, 1), jnp.float32),  # T final
+            pltpu.VMEM((W, 1), jnp.float32),  # R final
+        ],
+        interpret=interpret,
+    )(codes, tables, tvecs, xts, lengths)
+    return alt[..., 0], nul[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing: (B windows) -> (WG groups of W), codes relayout.
+# ---------------------------------------------------------------------------
+
+
+def pack_windows(xt: np.ndarray, codes: np.ndarray, lengths: np.ndarray,
+                 kappa: int = KAPPA):
+    """Relayout a window batch for the kernel.
+
+    xt (B, 13) f32; codes (B, Lpad, 5) int32; lengths (B,).
+    Returns (xts (WG, W, 16), lengths (WG, W, 1), codes (WG, NLB, kappa, 5, W)).
+    """
+    B, Lpad, _ = codes.shape
+    WG = (B + W - 1) // W
+    Lk = round_up(max(Lpad, 1), kappa)
+    NLB = Lk // kappa
+
+    xts = np.zeros((WG * W, 16), np.float32)
+    xts[:B, :13] = xt
+    xts = xts.reshape(WG, W, 16)
+
+    lens = np.zeros((WG * W,), np.int32)
+    lens[:B] = lengths
+    lens = lens.reshape(WG, W, 1)
+
+    c = np.zeros((WG * W, Lk, 5), np.int32)
+    c[:B, :Lpad] = codes
+    # (WG*W, Lk, 5) -> (WG, NLB, kappa, 5, W)
+    c = c.reshape(WG, W, NLB, kappa, 5).transpose(0, 2, 3, 4, 1)
+    return xts, lens, np.ascontiguousarray(c)
+
+
+class PallasScanEngine:
+    """Caches kernel-ready tables per profile pack; scores (P, B) tiles."""
+
+    def __init__(self, costs_list: list[ViterbiCosts], interpret: bool = False):
+        Kp = common_kp(costs_list)
+        pairs = [build_tables(c, Kp) for c in costs_list]
+        self.tables = jnp.asarray(np.stack([t for t, _ in pairs]))
+        self.tvecs = jnp.asarray(np.stack([v for _, v in pairs]))
+        self.interpret = interpret
+
+    def scores(self, xt: np.ndarray, codes: np.ndarray, lengths: np.ndarray):
+        """Returns (null_costs, alt_costs): (P, B) f32."""
+        B = codes.shape[0]
+        xts, lens, ck = pack_windows(xt, codes, lengths)
+        alt, nul = viterbi_scores_grid(
+            self.tables, self.tvecs, jnp.asarray(xts), jnp.asarray(lens),
+            jnp.asarray(ck), interpret=self.interpret)
+        P = self.tables.shape[0]
+        alt = np.asarray(alt).reshape(P, -1)[:, :B]
+        nul = np.asarray(nul).reshape(P, -1)[:, :B]
+        return nul, alt

@@ -1,0 +1,73 @@
+"""Pallas kernel (interpret mode) parity vs the lax.scan reference engine."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deciphon_tpu.ops.costs import build_costs
+from deciphon_tpu.ops.engine import ProfilePack, scan_scores_jit
+from deciphon_tpu.ops.viterbi_pallas import PallasScanEngine, pack_windows
+from deciphon_tpu.profile import sample_profile
+from deciphon_tpu.scan.sequence import frag_codes_ending
+from deciphon_tpu.xtrans import xtrans_cost_vector
+
+
+def make_workload(seeds_ks, B, L, mh=True, h3c=False, seed=0):
+    costs = [build_costs(sample_profile(s, k), mh, h3c) for s, k in seeds_ks]
+    rng = np.random.default_rng(seed)
+    codes = np.zeros((B, L, 5), np.int32)
+    xt = np.zeros((B, 13), np.float32)
+    lengths = np.zeros((B,), np.int32)
+    for b in range(B):
+        n = max(1, L - 2 * b)
+        seq = rng.integers(0, 4, size=n).astype(np.int8)
+        codes[b, :n] = frag_codes_ending(seq)
+        xt[b] = xtrans_cost_vector(mh, h3c, n)
+        lengths[b] = n
+    return costs, xt, codes, lengths
+
+
+def jax_scores(costs, xt, codes, lengths):
+    pack = ProfilePack.from_costs(costs, lane_multiple=1)
+    nul, alt = scan_scores_jit(
+        jnp.asarray(pack.core), jnp.asarray(pack.match),
+        jnp.asarray(pack.null), jnp.asarray(pack.background),
+        jnp.asarray(xt), jnp.asarray(codes), jnp.asarray(lengths))
+    return np.asarray(nul), np.asarray(alt)
+
+
+@pytest.mark.parametrize("mh,h3c", [(True, False), (False, True)])
+def test_pallas_matches_jax_engine(mh, h3c):
+    costs, xt, codes, lengths = make_workload(
+        [(1, 5), (2, 12), (3, 9)], B=5, L=37, mh=mh, h3c=h3c)
+    eng = PallasScanEngine(costs, interpret=True)
+    nul_p, alt_p = eng.scores(xt, codes, lengths)
+    nul_j, alt_j = jax_scores(costs, xt, codes, lengths)
+    np.testing.assert_allclose(alt_p, alt_j, rtol=2e-6, atol=2e-5)
+    np.testing.assert_allclose(nul_p, nul_j, rtol=2e-6, atol=2e-5)
+
+
+def test_pallas_window_group_padding():
+    """B not a multiple of W; length-1 windows; multi-l-block windows."""
+    costs, xt, codes, lengths = make_workload([(7, 4)], B=3, L=70, seed=9)
+    lengths[2] = 1  # minimal window
+    eng = PallasScanEngine(costs, interpret=True)
+    nul_p, alt_p = eng.scores(xt, codes, lengths)
+    nul_j, alt_j = jax_scores(costs, xt, codes, lengths)
+    np.testing.assert_allclose(alt_p, alt_j, rtol=2e-6, atol=2e-5)
+    np.testing.assert_allclose(nul_p, nul_j, rtol=2e-6, atol=2e-5)
+
+
+def test_pack_windows_layout():
+    xt = np.arange(3 * 13, dtype=np.float32).reshape(3, 13)
+    codes = np.arange(3 * 10 * 5, dtype=np.int32).reshape(3, 10, 5) % 1364
+    lengths = np.array([10, 7, 9], np.int32)
+    xts, lens, ck = pack_windows(xt, codes, lengths, kappa=8)
+    assert xts.shape == (1, 8, 16)
+    assert lens.shape == (1, 8, 1)
+    assert ck.shape == (1, 2, 8, 5, 8)
+    # codes[b, l, t] must land at ck[wg, l//kappa, l%kappa, t, b%W]
+    assert ck[0, 0, 3, 2, 1] == codes[1, 3, 2]
+    assert ck[0, 1, 1, 4, 2] == codes[2, 9, 4]
+    assert lens[0, :3, 0].tolist() == [10, 7, 9]
+    assert lens[0, 3:, 0].tolist() == [0] * 5
