@@ -1,0 +1,150 @@
+"""Command-line interface: press / scan / see (parity: cli/deciphon/cli.py).
+
+`deciphon press FILE.hmm GENCODE` -> FILE.dcp
+`deciphon scan FILE.dcp SEQS.fna` -> SEQS.dcs  (LRT-only unless --hmmer)
+`deciphon see SNAP.dcs`           -> alignment view
+
+The reference's `worker` command (MQTT consumer) lives in
+deciphon_tpu.worker_daemon and is registered here when its dependencies
+are available.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import click
+
+from .gencode import GENCODE_IDS
+
+
+@click.group()
+def cli():
+    """TPU-native Deciphon: protein annotation on nucleotide long reads."""
+
+
+@cli.command()
+@click.argument("hmmfile", type=click.Path(exists=True, dir_okay=False))
+@click.argument("gencode", type=int)
+@click.option("--epsilon", type=float, default=0.01, show_default=True,
+              help="Nucleotide error probability.")
+@click.option("--output", type=click.Path(), default=None,
+              help="Output .dcp path (default: input with .dcp suffix).")
+@click.option("--progress/--no-progress", default=True)
+def press(hmmfile, gencode, epsilon, output, progress):
+    """Press a HMMER3 .hmm file into a .dcp frame-profile database."""
+    if gencode not in GENCODE_IDS:
+        raise click.BadParameter(f"unknown genetic code {gencode}")
+    from .press import press as do_press
+
+    bar = None
+    if progress:
+        import rich.progress as rp
+
+        bar = rp.Progress(*rp.Progress.get_default_columns(),
+                          rp.MofNCompleteColumn())
+        bar.start()
+        task = bar.add_task("press", total=None)
+
+        def cb(done, total):
+            bar.update(task, completed=done, total=total)
+    else:
+        cb = None
+    try:
+        out = do_press(str(hmmfile), output, gencode, epsilon, progress=cb)
+    finally:
+        if bar is not None:
+            bar.stop()
+    click.echo(f"wrote {out}")
+
+
+@cli.command()
+@click.argument("dbfile", type=click.Path(exists=True, dir_okay=False))
+@click.argument("seqfile", type=click.Path(exists=True, dir_okay=False))
+@click.option("--snap", type=click.Path(), default=None,
+              help="Output .dcs path (default: SEQFILE base + .dcs).")
+@click.option("--multi-hits/--no-multi-hits", default=True, show_default=True)
+@click.option("--hmmer3-compat/--no-hmmer3-compat", default=False,
+              show_default=True)
+@click.option("--engine", type=click.Choice(["pallas", "jax"]),
+              default="pallas", show_default=True)
+@click.option("--hmmer", "hmmer_port", type=int, default=None,
+              help="Confirm hits against hmmpgmd on this port.")
+@click.option("--progress/--no-progress", default=True)
+def scan(dbfile, seqfile, snap, multi_hits, hmmer3_compat, engine,
+         hmmer_port, progress):
+    """Scan sequences against a pressed database; write a .dcs snap."""
+    from .io.dcp import read_dcp_profiles
+    from .scan.fasta_io import read_sequences
+    from .scan.pipeline import ScanConfig, Scanner
+    from .snap.snap_file import make_snap_archive
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    if snap is None:
+        snap = os.path.splitext(str(seqfile))[0] + ".dcs"
+    if os.path.exists(snap):
+        raise click.ClickException(f"{snap} already exists")
+
+    _, profiles = read_dcp_profiles(str(dbfile))
+    sequences = read_sequences(seqfile)
+
+    confirmer = None
+    if hmmer_port is not None:
+        from .hmmer.client import HMMERClient
+
+        client = HMMERClient("127.0.0.1", hmmer_port,
+                             num_proteins=len(profiles),
+                             has_ga=all(p.has_ga for p in profiles))
+        confirmer = client.confirm
+
+    cfg = ScanConfig(multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+                     engine=engine)
+    scanner = Scanner(profiles, cfg, confirmer=confirmer)
+
+    workdir = tempfile.mkdtemp(prefix="deciphon_scan_")
+    basedir = os.path.join(
+        workdir, os.path.splitext(os.path.basename(str(snap)))[0])
+    os.makedirs(basedir)
+    try:
+        scanner.run(sequences, basedir)
+        make_snap_archive(basedir, str(snap))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    click.echo(f"wrote {snap}")
+
+
+@cli.command()
+@click.argument("snapfile", type=click.Path(exists=True, dir_okay=False))
+def see(snapfile):
+    """Pretty-print the alignments stored in a .dcs snap."""
+    from .snap.snap_file import read_snap
+    from .snap.view import view_alignments
+
+    snap = read_snap(snapfile)
+    click.echo(str(snap))
+    click.echo()
+    click.echo(view_alignments(snap.products))
+
+
+def _register_worker():
+    try:
+        from .worker_daemon import worker  # noqa: F401
+
+        cli.add_command(worker)
+    except ImportError:
+        pass
+
+
+_register_worker()
+
+
+def main():
+    cli(prog_name="deciphon")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,10 +119,11 @@ def _lane_cummin(x, lane_idx, Kp):
 
 def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
             alt_ref, null_ref,
-            MA, M, I, D, SML, Tfin, Rfin, *, kappa, num_lblocks, Kp):
-    """Grid: (P, WG, NLB).  SML packs the small (5, W, 1) rings:
-    axis0 = [S, B, N, J, C, E, R]."""
-    nlb = pl.program_id(2)
+            MA, M, I, D, SML, Tfin, Rfin, *, kappa, num_lblocks, Kp,
+            nlb_dim):
+    """Grid: (..., NLB) — nlb_dim selects the l-block grid axis.  SML packs
+    the small (5, W, 1) rings: axis0 = [S, B, N, J, C, E, R]."""
+    nlb = pl.program_id(nlb_dim)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, W, Kp), 2)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (W, Kp), 1)
@@ -240,7 +241,8 @@ def viterbi_scores_grid(tables, tvecs, xts, lengths, codes, *, kappa=KAPPA,
     """
     P, _, Kp = tables.shape
     WG, NLB = codes.shape[0], codes.shape[1]
-    kernel = functools.partial(_kernel, kappa=kappa, num_lblocks=NLB, Kp=Kp)
+    kernel = functools.partial(_kernel, kappa=kappa, num_lblocks=NLB, Kp=Kp,
+                               nlb_dim=2)
     grid = (P, WG, NLB)
     out_shape = [
         jax.ShapeDtypeStruct((P, WG, W, 1), jnp.float32),
@@ -280,6 +282,78 @@ def viterbi_scores_grid(tables, tvecs, xts, lengths, codes, *, kappa=KAPPA,
         interpret=interpret,
     )(codes, tables, tvecs, xts, lengths)
     return alt[..., 0], nul[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("kappa", "interpret"))
+def viterbi_scores_pairs(pidx, tables, tvecs, xts, lengths, codes, *,
+                         kappa=KAPPA, interpret=False):
+    """Ragged batching: score NPAIR (profile, window-group) pairs.
+
+    This is the production scheduler shape — each pair binds a window-group
+    to ITS profile (window geometry depends on the profile's core size, so
+    different profiles scan different windows; the dense grid variant would
+    score every group against every profile).  The profile index array is a
+    scalar-prefetch argument, so the pipeline DMAs each pair's emission
+    table by data-dependent index (the TPU analog of the reference's
+    per-thread protein partition walk, c-core/protein_reader.c:77-101).
+
+    Args:
+      pidx: (NPAIR,) int32 profile index per pair.
+      tables/tvecs: stacked per-profile tables (P, 1364, Kp)/(P, 8, Kp).
+      xts: (NPAIR, W, 16); lengths: (NPAIR, W, 1); codes: (NPAIR, NLB,
+        kappa, 5, W).
+
+    Returns (alt, null): (NPAIR, W) f32.
+    """
+    _, _, Kp = tables.shape
+    NPAIR, NLB = codes.shape[0], codes.shape[1]
+
+    def kernel(pidx_ref, *rest):
+        # pidx is consumed by the index maps only; drop the leading ref.
+        _kernel(*rest, kappa=kappa, num_lblocks=NLB, Kp=Kp, nlb_dim=1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NPAIR, NLB),
+        in_specs=[
+            pl.BlockSpec((1, 1, kappa, 5, W),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TABLE_SIZE, Kp),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Kp),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, 16), lambda pair, nlb, pidx: (pair, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, 1), lambda pair, nlb, pidx: (pair, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, W, 1), lambda pair, nlb, pidx: (pair, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 1), lambda pair, nlb, pidx: (pair, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, W, Kp), jnp.float32),
+            pltpu.VMEM((5, W, Kp), jnp.float32),
+            pltpu.VMEM((5, W, Kp), jnp.float32),
+            pltpu.VMEM((5, W, Kp), jnp.float32),
+            pltpu.VMEM((7, 5, W, 1), jnp.float32),
+            pltpu.VMEM((W, 1), jnp.float32),
+            pltpu.VMEM((W, 1), jnp.float32),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((NPAIR, 1, W, 1), jnp.float32),
+        jax.ShapeDtypeStruct((NPAIR, 1, W, 1), jnp.float32),
+    ]
+    alt, nul = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(pidx, codes, tables, tvecs, xts, lengths)
+    return alt[:, 0, :, 0], nul[:, 0, :, 0]
 
 
 # ---------------------------------------------------------------------------

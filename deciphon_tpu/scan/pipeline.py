@@ -1,17 +1,23 @@
 """The scan pipeline: batched two-phase Viterbi over (profile, window) pairs.
 
 Reference call stack being re-architected (SURVEY.md §3.2): the per-thread
-protein×sequence×window loop of c-core/thread.c:49-208 becomes
+protein x sequence x window loop of c-core/thread.c:49-208 becomes
 
-  phase 1 (device, batched): null DP + score-only frame Viterbi for a batch
-    of windows of one profile -> LRT filter (thread.c:114-121);
+  phase 1 (device, batched): null + alt frame Viterbi for every in-flight
+    (profile, window) pair at once — the ragged Pallas kernel
+    (ops/viterbi_pallas.py) via the batch scheduler (scan/scheduler.py) —
+    then the LRT filter (thread.c:114-121);
   phase 2 (device per survivor + host): path Viterbi -> packed trellis ->
     host traceback -> hit segmentation -> ML codon/amino decode -> product
     line (thread.c:126-207).
 
 Windows of one (profile, sequence) pair advance serially with last-hit
-feedback (exact window.c semantics); batching happens across sequences and
-(in the sharded scanner) across profiles.
+feedback (exact window.c semantics); batching happens across the full
+profiles x sequences cross product, so device batches stay large while
+per-pair semantics stay exact.  Product lines are emitted in deterministic
+(profile, sequence, window) order regardless of batch composition — the
+reference's thread-count-invariance contract
+(python-core/tests/test_scan.py:102-104).
 """
 
 from __future__ import annotations
@@ -19,18 +25,19 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import states as st
+from ..frame import frag_code
 from ..ops.costs import ViterbiCosts, build_costs
 from ..ops.traceback import unzip
-from ..ops.viterbi_jax import viterbi, viterbi_batch, viterbi_null_batch
+from ..ops.viterbi_jax import viterbi
 from ..profile import FrameProfile
 from ..xtrans import xtrans_cost_vector
 from .decoder import Decoder
 from .product import MatchStep, ProductLine, ProductWriter
+from .scheduler import JaxPairScorer, PairItem, PairScorer
 from .sequence import Sequence
 from .window import WindowCursor
 
@@ -47,7 +54,7 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _pad_len(n: int) -> int:
-    """Bucket window lengths to limit recompilation."""
+    """Bucket window lengths to limit path-pass recompilation."""
     if n <= 256:
         return _round_up(max(n, 1), 64)
     return 1 << math.ceil(math.log2(n))
@@ -57,24 +64,17 @@ def _pad_len(n: int) -> int:
 class ScanConfig:
     multi_hits: bool = True
     hmmer3_compat: bool = False
-    max_batch: int = 64
-
-
-@dataclass
-class _Hit:
-    """One window's product data before confirmation."""
-    line: ProductLine
-    amino: str
-    protein_idx: int
+    max_pairs: int = 256  # pairs in flight per scoring round
+    engine: str = "pallas"  # "pallas" | "pallas-interpret" | "jax"
 
 
 class Scanner:
     """Scans sequence batches against a list of pressed profiles.
 
     `confirmer`, if given, is called as confirmer(protein_idx, amino_seq)
-    and must return a log-evalue (and optionally an h3r blob) — the hmmpgmd
-    confirmation stage (c-core/hmmer.c).  Without it, every LRT hit is kept
-    and reported with evalue 1 (log 0).
+    and must return (logevalue, h3r_blob|None) — the hmmpgmd confirmation
+    stage (c-core/hmmer.c).  Without it, every LRT hit is kept and
+    reported with evalue 1 (log 0).
     """
 
     def __init__(self, profiles: list[FrameProfile], config: ScanConfig = None,
@@ -83,26 +83,74 @@ class Scanner:
         self.config = config or ScanConfig()
         self.confirmer = confirmer
         self.abc_name = abc_name
-        self._costs: dict[int, ViterbiCosts] = {}
+        self.costs: list[ViterbiCosts] = [
+            build_costs(p, self.config.multi_hits, self.config.hmmer3_compat)
+            for p in profiles
+        ]
+        if self.config.engine == "jax":
+            self.scorer = JaxPairScorer(self.costs)
+        else:
+            self.scorer = PairScorer(
+                self.costs,
+                interpret=(self.config.engine == "pallas-interpret"))
+        self._decoders: dict[int, Decoder] = {}
         self.progress_done = 0
         self.progress_total = 0
-
-    def costs(self, p_idx: int) -> ViterbiCosts:
-        if p_idx not in self._costs:
-            self._costs[p_idx] = build_costs(
-                self.profiles[p_idx], self.config.multi_hits,
-                self.config.hmmer3_compat)
-        return self._costs[p_idx]
 
     # ------------------------------------------------------------------
     def run(self, sequences: list[Sequence], product_dir: str) -> str:
         writer = ProductWriter(product_dir)
-        self.progress_total = len(self.profiles)
+        P, S = len(self.profiles), len(sequences)
+        self.progress_total = max(P * S, 1)
         self.progress_done = 0
-        for p_idx in range(len(self.profiles)):
-            self._scan_profile(p_idx, sequences, writer)
-            self.progress_done += 1
+
+        cursors: dict[tuple[int, int], WindowCursor] = {}
+        pending: list[PairItem] = []
+        for p in range(P):
+            K = self.profiles[p].core_size
+            for s in range(S):
+                cur = WindowCursor(K, sequences[s].size)
+                cursors[(p, s)] = cur
+                item = self._next_item(p, s, cur, sequences)
+                if item is not None:
+                    pending.append(item)
+                else:
+                    self.progress_done += 1
+
+        while pending:
+            batch = pending[: self.config.max_pairs * 8]
+            rest = pending[len(batch):]
+            scores = self.scorer.score(batch)
+            nxt: list[PairItem] = []
+            for it in batch:
+                null_c, alt_c = scores[id(it)]
+                line_lrt = lrt(null_c, alt_c)
+                if math.isfinite(line_lrt) and line_lrt >= 0:
+                    self._phase2(it, sequences[it.s_idx], line_lrt,
+                                 cursors[(it.p_idx, it.s_idx)], writer)
+                item = self._next_item(it.p_idx, it.s_idx,
+                                       cursors[(it.p_idx, it.s_idx)],
+                                       sequences)
+                if item is not None:
+                    nxt.append(item)
+                else:
+                    self.progress_done += 1
+            pending = rest + nxt
+
+        writer.sort_lines()
         return writer.close()
+
+    def _next_item(self, p: int, s: int, cur: WindowCursor,
+                   sequences) -> PairItem | None:
+        win = cur.next()
+        if win is None:
+            return None
+        return PairItem(
+            p_idx=p, s_idx=s, win=win,
+            codes=sequences[s].window_codes(win.start, win.stop),
+            multi_hits=self.config.multi_hits,
+            hmmer3_compat=self.config.hmmer3_compat,
+        )
 
     @property
     def progress(self) -> int:
@@ -111,65 +159,20 @@ class Scanner:
         return 100 * self.progress_done // self.progress_total
 
     # ------------------------------------------------------------------
-    def _scan_profile(self, p_idx: int, sequences: list[Sequence],
-                      writer: ProductWriter) -> None:
+    def _decoder(self, p_idx: int) -> Decoder:
+        if p_idx not in self._decoders:
+            self._decoders[p_idx] = Decoder(self.profiles[p_idx])
+        return self._decoders[p_idx]
+
+    def _phase2(self, it: PairItem, seq: Sequence, line_lrt: float,
+                cursor: WindowCursor, writer: ProductWriter) -> None:
+        p_idx, win = it.p_idx, it.win
         profile = self.profiles[p_idx]
-        costs = self.costs(p_idx)
-        K = profile.core_size
-
-        cursors = [WindowCursor(K, s.size) for s in sequences]
-        pending = [(i, cursors[i].next()) for i in range(len(sequences))]
-        pending = [(i, w) for i, w in pending if w is not None]
-
-        while pending:
-            batch = pending[: self.config.max_batch]
-            pending = pending[len(batch):]
-
-            results = self._phase1(costs, sequences, batch)
-            for (s_idx, win), (null_c, alt_c) in zip(batch, results):
-                line_lrt = lrt(null_c, alt_c)
-                if math.isfinite(line_lrt) and line_lrt >= 0:
-                    self._phase2(p_idx, costs, sequences[s_idx], win,
-                                 line_lrt, cursors[s_idx], writer)
-                nxt = cursors[s_idx].next()
-                if nxt is not None:
-                    pending.append((s_idx, nxt))
-
-    # ------------------------------------------------------------------
-    def _phase1(self, costs: ViterbiCosts, sequences, batch):
-        """Null + alt scores for a batch of windows of one profile."""
-        lens = [w.length for _, w in batch]
-        Lpad = _pad_len(max(lens))
-        B = len(batch)
-        codes = np.zeros((B, Lpad, 5), dtype=np.int32)
-        xts = np.zeros((B, 13), dtype=np.float32)
-        lengths = np.asarray(lens, dtype=np.int32)
-        for bi, (s_idx, win) in enumerate(batch):
-            wc = sequences[s_idx].window_codes(win.start, win.stop)
-            codes[bi, : win.length] = wc
-            xts[bi] = xtrans_cost_vector(
-                self.config.multi_hits, self.config.hmmer3_compat, win.length)
-
-        codes_j = jnp.asarray(codes)
-        lengths_j = jnp.asarray(lengths)
-        null_scores = viterbi_null_batch(
-            jnp.asarray(costs.null), jnp.asarray(xts[:, 0]), codes_j, lengths_j)
-        alt_scores = viterbi_batch(
-            jnp.asarray(costs.core), jnp.asarray(costs.match),
-            jnp.asarray(costs.null), jnp.asarray(costs.background),
-            jnp.asarray(xts), codes_j, lengths_j)
-        return list(zip(np.asarray(null_scores), np.asarray(alt_scores)))
-
-    # ------------------------------------------------------------------
-    def _phase2(self, p_idx, costs: ViterbiCosts, seq: Sequence, win,
-                line_lrt: float, cursor: WindowCursor,
-                writer: ProductWriter) -> None:
-        profile = self.profiles[p_idx]
+        costs = self.costs[p_idx]
         L = win.length
-        wc = seq.window_codes(win.start, win.stop)
         Lpad = _pad_len(L)
         codes = np.zeros((Lpad, 5), dtype=np.int32)
-        codes[:L] = wc
+        codes[:L] = it.codes
         xt = xtrans_cost_vector(self.config.multi_hits,
                                 self.config.hmmer3_compat, L)
         score, xnodes, nodes = viterbi(
@@ -187,15 +190,14 @@ class Scanner:
         if not found_hit:
             return  # B without E: empty amino -> no product (thread.c flow)
 
-        window_syms = seq.data[win.start : win.stop]
-        decoder = Decoder(profile)
+        window_syms = seq.data[win.start:win.stop]
+        decoder = self._decoder(p_idx)
         steps: list[MatchStep] = []
         aminos: list[str] = []
         pos = sum(sz for _, sz in path[:begin])
-        from ..frame import frag_code
 
         for sid, size in path[begin:end]:
-            frag = window_syms[pos : pos + size]
+            frag = window_syms[pos:pos + size]
             if st.is_mute(sid) or size == 0:
                 steps.append(MatchStep(frag, st.state_name(sid), "", ""))
             else:
@@ -228,7 +230,7 @@ class Scanner:
         else:
             if not amino_seq:
                 return
-        writer.add(line)
+        writer.add(line, order=(p_idx, seq.id, win.idx))
 
 
 def segment_hits(path: list[tuple[int, int]]):

@@ -83,9 +83,19 @@ class ProductWriter:
     def __init__(self, dirname: str):
         self.dirname = dirname
         self.lines: list[ProductLine] = []
+        self._orders: list[tuple] = []
 
-    def add(self, line: ProductLine) -> None:
+    def add(self, line: ProductLine, order: tuple | None = None) -> None:
         self.lines.append(line)
+        self._orders.append(order if order is not None
+                            else (0, line.sequence, line.window))
+
+    def sort_lines(self) -> None:
+        """Restore the reference's deterministic (protein, sequence,
+        window) order regardless of batch completion order."""
+        paired = sorted(zip(self._orders, range(len(self.lines))))
+        self.lines = [self.lines[i] for _, i in paired]
+        self._orders = [o for o, _ in paired]
 
     def add_h3r(self, line: ProductLine, blob: bytes) -> None:
         d = os.path.join(self.dirname, "hmmer", str(line.sequence),

@@ -1,0 +1,184 @@
+"""Batch scheduler: ragged (profile, window) pairs -> padded kernel calls.
+
+The TPU re-architecture of the reference's scan orchestration
+(c-core/scan.c:167-216 + thread.c:49-86): instead of one OpenMP thread per
+contiguous protein partition, every (profile, window) in flight is packed
+into (profile, window-group) pairs — W windows of one profile per group,
+groups padded to power-of-two pair counts and bucketed by padded window
+length — and scored by one ragged Pallas kernel call per bucket.  Shape
+bucketing bounds the number of distinct compiled programs (compile cost)
+and the padding waste (compute cost) simultaneously.
+
+Window advancement stays per-(profile, sequence) sequential with last-hit
+feedback, exactly like the reference (c-core/window.c:13-37): only one
+window per cursor is ever in flight; batching comes from the cross product
+of profiles and sequences.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.costs import ViterbiCosts
+from ..xtrans import xtrans_cost_vector
+from .window import Window
+
+W = 8  # windows per group; must match ops.viterbi_pallas.W
+
+
+def next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@dataclass
+class PairItem:
+    """One scheduled window with its origin coordinates."""
+
+    p_idx: int  # profile index within the pack
+    s_idx: int  # sequence index
+    win: Window
+    codes: np.ndarray  # (len, 5) int32 fragment codes
+    multi_hits: bool
+    hmmer3_compat: bool
+
+    @property
+    def xt(self) -> np.ndarray:
+        return xtrans_cost_vector(self.multi_hits, self.hmmer3_compat,
+                                  self.win.length)
+
+
+@dataclass
+class _Bucket:
+    nlb: int
+    groups: list[list[PairItem]]
+
+
+def build_batches(items: list[PairItem], kappa: int,
+                  max_pairs: int = 256) -> list[_Bucket]:
+    """Group items by profile into W-slots; bucket groups by padded NLB."""
+    by_profile: dict[int, list[PairItem]] = {}
+    for it in items:
+        by_profile.setdefault(it.p_idx, []).append(it)
+
+    groups: list[list[PairItem]] = []
+    for p_idx in sorted(by_profile):
+        wins = by_profile[p_idx]
+        for i in range(0, len(wins), W):
+            groups.append(wins[i:i + W])
+
+    buckets: dict[int, _Bucket] = {}
+    for g in groups:
+        lmax = max(it.win.length for it in g)
+        nlb = next_pow2(max(1, -(-lmax // kappa)))
+        b = buckets.setdefault(nlb, _Bucket(nlb=nlb, groups=[]))
+        b.groups.append(g)
+
+    out = []
+    for b in sorted(buckets.values(), key=lambda b: b.nlb):
+        for i in range(0, len(b.groups), max_pairs):
+            out.append(_Bucket(nlb=b.nlb, groups=b.groups[i:i + max_pairs]))
+    return out
+
+
+def bucket_arrays(bucket: _Bucket, kappa: int):
+    """Assemble padded kernel inputs for one bucket.
+
+    Returns (pidx (N,), xts (N,W,16), lens (N,W,1), codes (N,NLB,kappa,5,W))
+    with N = next_pow2(len(groups)); pad pairs have length 0 everywhere.
+    """
+    n = len(bucket.groups)
+    N = next_pow2(max(1, n))
+    NLB = bucket.nlb
+    Lk = NLB * kappa
+
+    pidx = np.zeros((N,), np.int32)
+    xts = np.zeros((N, W, 16), np.float32)
+    lens = np.zeros((N, W, 1), np.int32)
+    codes = np.zeros((N, W, Lk, 5), np.int32)
+    for gi, g in enumerate(bucket.groups):
+        pidx[gi] = g[0].p_idx
+        for wi, it in enumerate(g):
+            L = it.win.length
+            xts[gi, wi, :13] = it.xt
+            lens[gi, wi, 0] = L
+            codes[gi, wi, :L] = it.codes
+    # (N, W, Lk, 5) -> (N, NLB, kappa, 5, W)
+    ck = codes.reshape(N, W, NLB, kappa, 5).transpose(0, 2, 3, 4, 1)
+    return pidx, xts, lens, np.ascontiguousarray(ck), codes
+
+
+class PairScorer:
+    """Scores scheduled pairs with the Pallas kernel (or interpret mode)."""
+
+    def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
+                 kappa: int | None = None):
+        import jax.numpy as jnp
+
+        from ..ops import viterbi_pallas as vp
+
+        self._vp = vp
+        self.kappa = kappa or vp.KAPPA
+        Kp = vp.common_kp(costs_list)
+        pairs = [vp.build_tables(c, Kp) for c in costs_list]
+        self.tables = jnp.asarray(np.stack([t for t, _ in pairs]))
+        self.tvecs = jnp.asarray(np.stack([v for _, v in pairs]))
+        self.interpret = interpret
+
+    def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
+        """Returns {id(item) -> (null_cost, alt_cost)}."""
+        import jax.numpy as jnp
+
+        results: dict[int, tuple[float, float]] = {}
+        for bucket in build_batches(items, self.kappa):
+            pidx, xts, lens, ck, _ = bucket_arrays(bucket, self.kappa)
+            alt, nul = self._vp.viterbi_scores_pairs(
+                jnp.asarray(pidx), self.tables, self.tvecs,
+                jnp.asarray(xts), jnp.asarray(lens), jnp.asarray(ck),
+                kappa=self.kappa, interpret=self.interpret)
+            alt = np.asarray(alt)
+            nul = np.asarray(nul)
+            for gi, g in enumerate(bucket.groups):
+                for wi, it in enumerate(g):
+                    results[id(it)] = (float(nul[gi, wi]), float(alt[gi, wi]))
+        return results
+
+
+class JaxPairScorer:
+    """lax.scan fallback scorer (CPU tests, debugging): same contract as
+    PairScorer, built on ops.engine.scan_scores per pair."""
+
+    def __init__(self, costs_list: list[ViterbiCosts], kappa: int = 32):
+        import jax.numpy as jnp
+
+        self.kappa = kappa
+        self._jnp = jnp
+        self.costs = costs_list
+        self._dev = [
+            (jnp.asarray(c.core), jnp.asarray(c.match), jnp.asarray(c.null),
+             jnp.asarray(c.background)) for c in costs_list
+        ]
+
+    def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
+        import jax.numpy as jnp
+
+        from ..ops.engine import scan_scores_jit
+
+        results: dict[int, tuple[float, float]] = {}
+        for bucket in build_batches(items, self.kappa):
+            _, xts, lens, _, codes = bucket_arrays(bucket, self.kappa)
+            for gi, g in enumerate(bucket.groups):
+                core, match, null, bg = self._dev[g[0].p_idx]
+                nul, alt = scan_scores_jit(
+                    core[None], match[None], null[None], bg[None],
+                    jnp.asarray(xts[gi, :, :13]), jnp.asarray(codes[gi]),
+                    jnp.asarray(lens[gi, :, 0]))
+                nul = np.asarray(nul)[0]
+                alt = np.asarray(alt)[0]
+                for wi, it in enumerate(g):
+                    results[id(it)] = (float(nul[wi]), float(alt[wi]))
+        return results

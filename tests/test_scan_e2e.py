@@ -1,0 +1,106 @@
+"""End-to-end scan: press minifam -> scan the reference consensus reads.
+
+Workload parity: c-core/test_scan.c (8 consensus sequences x flag combos).
+The reference's golden fletcher16 checksums include hmmpgmd e-value
+confirmation, which needs a live HMMER3 daemon; these tests run the
+LRT-only product path and assert biological correctness (each consensus
+read hits its own profile), determinism, and engine equivalence.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from deciphon_tpu.io.dcp import read_dcp_profiles
+from deciphon_tpu.press import press
+from deciphon_tpu.scan.pipeline import ScanConfig, Scanner
+from deciphon_tpu.scan.product import fletcher16
+from deciphon_tpu.scan.sequence import Sequence
+
+MINIFAM = "/root/reference/c-core/minifam.hmm"
+HERE = os.path.dirname(__file__)
+
+# consensus name -> profile accession prefix (minifam families)
+FAMILY = {
+    "Homoserine_dh": "PF00742",
+    "AA_kinase": "PF00696",
+    "23ISL": "PF16620",
+}
+
+
+@pytest.fixture(scope="module")
+def minifam_profiles(tmp_path_factory):
+    out = tmp_path_factory.mktemp("scan") / "minifam.dcp"
+    press(MINIFAM, str(out), gencode_id=1, epsilon=0.01)
+    _, profiles = read_dcp_profiles(str(out))
+    return profiles
+
+
+@pytest.fixture(scope="module")
+def consensus_sequences():
+    with open(os.path.join(HERE, "data_consensus.json")) as fp:
+        raw = json.load(fp)
+    return [Sequence.make(e["id"], e["name"], e["seq"]) for e in raw]
+
+
+def read_products(path):
+    with open(path) as fp:
+        header = fp.readline()
+        assert header.startswith("sequence\t")
+        return [line.rstrip("\n").split("\t") for line in fp]
+
+
+def test_scan_consensus_hits_own_family(minifam_profiles, consensus_sequences,
+                                        tmp_path):
+    scanner = Scanner(minifam_profiles, ScanConfig(engine="jax"))
+    out = scanner.run(consensus_sequences, str(tmp_path / "prod"))
+    rows = read_products(out)
+    assert rows, "consensus reads must produce hits"
+    assert scanner.progress == 100
+
+    by_seq = {}
+    for r in rows:
+        seq_id, profile, lrt = int(r[0]), r[7], float(r[9])
+        by_seq.setdefault(seq_id, []).append((profile, lrt))
+    for seq in consensus_sequences:
+        fam = FAMILY[seq.name.split("-")[0]]
+        assert seq.id in by_seq, f"sequence {seq.id} ({seq.name}) missing"
+        best = max(by_seq[seq.id], key=lambda t: t[1])
+        assert best[0].startswith(fam), (
+            f"seq {seq.id} ({seq.name}): best hit {best} not {fam}")
+        assert best[1] > 50.0  # consensus reads score far above threshold
+
+
+def test_scan_deterministic(minifam_profiles, consensus_sequences, tmp_path):
+    seqs = consensus_sequences[:3]
+    cfg = ScanConfig(engine="jax")
+    out1 = Scanner(minifam_profiles, cfg).run(seqs, str(tmp_path / "p1"))
+    out2 = Scanner(minifam_profiles, cfg).run(seqs, str(tmp_path / "p2"))
+    assert fletcher16(out1) == fletcher16(out2)
+    assert open(out1, "rb").read() == open(out2, "rb").read()
+
+
+def test_scan_flag_combos_change_products(minifam_profiles,
+                                          consensus_sequences, tmp_path):
+    seqs = consensus_sequences[:1]
+    outs = []
+    for mh, h3c in [(True, False), (False, False), (True, True)]:
+        cfg = ScanConfig(engine="jax", multi_hits=mh, hmmer3_compat=h3c)
+        out = Scanner(minifam_profiles, cfg).run(
+            seqs, str(tmp_path / f"p{mh}{h3c}"))
+        outs.append(open(out).read())
+    # multi-hit wiring and hmmer3-compat change the DP; lrt columns differ
+    assert outs[0] != outs[1]
+
+
+def test_engine_equivalence_pallas_interpret(minifam_profiles,
+                                             consensus_sequences, tmp_path):
+    seqs = consensus_sequences[2:3]  # 23ISL (smallest profile hits fast)
+    out_j = Scanner(minifam_profiles, ScanConfig(engine="jax")).run(
+        seqs, str(tmp_path / "jax"))
+    out_p = Scanner(minifam_profiles,
+                    ScanConfig(engine="pallas-interpret")).run(
+        seqs, str(tmp_path / "pal"))
+    assert open(out_j).read() == open(out_p).read()
