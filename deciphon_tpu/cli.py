@@ -73,9 +73,14 @@ def press(hmmfile, gencode, epsilon, output, progress):
               default="pallas", show_default=True)
 @click.option("--hmmer", "hmmer_port", type=int, default=None,
               help="Confirm hits against hmmpgmd on this port.")
+@click.option("--confirm", "confirm_mode",
+              type=click.Choice(["none", "native"]), default="none",
+              show_default=True,
+              help="E-value confirmation: 'native' runs the built-in amino "
+                   "Forward scorer (needs the paired .hmm next to the .dcp).")
 @click.option("--progress/--no-progress", default=True)
 def scan(dbfile, seqfile, snap, multi_hits, hmmer3_compat, engine,
-         hmmer_port, progress):
+         hmmer_port, confirm_mode, progress):
     """Scan sequences against a pressed database; write a .dcs snap."""
     from .io.dcp import read_dcp_profiles
     from .scan.fasta_io import read_sequences
@@ -100,6 +105,15 @@ def scan(dbfile, seqfile, snap, multi_hits, hmmer3_compat, engine,
                              num_proteins=len(profiles),
                              has_ga=all(p.has_ga for p in profiles))
         confirmer = client.confirm
+    elif confirm_mode == "native":
+        from .hmmer.forward import NativeConfirmer
+        from .hmmfile import read_hmm
+
+        hmm_path = os.path.splitext(str(dbfile))[0] + ".hmm"
+        if not os.path.exists(hmm_path):
+            raise click.ClickException(
+                f"native confirmation needs {hmm_path} next to the .dcp")
+        confirmer = NativeConfirmer(read_hmm(hmm_path)).confirm
 
     cfg = ScanConfig(multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
                      engine=engine)

@@ -52,6 +52,11 @@ class HMMProfile:
     trans: np.ndarray = field(default_factory=lambda: np.zeros((0, NUM_TRANS), np.float32))
     ga: tuple[float, float] | None = None
     compo: np.ndarray | None = None
+    # insert emissions (log-probs) per node 0..K (row 0 = BEGIN node)
+    insert_lprobs: np.ndarray | None = None
+    # Gumbel/exponential tail calibration: {"MSV"|"VITERBI"|"FORWARD":
+    # (mu/tau, lambda)} from the STATS LOCAL lines
+    stats: dict = field(default_factory=dict)
 
     @property
     def has_ga(self) -> bool:
@@ -118,7 +123,9 @@ def _read_one(fp) -> HMMProfile:
         elif key == "GA":
             vals = [t.rstrip(";") for t in tokens[1:3]]
             p.ga = (float(vals[0]), float(vals[1]))
-        # other keys (DATE, NSEQ, EFFN, CKSUM, STATS, ...) are not needed
+        elif key == "STATS" and len(tokens) >= 5 and tokens[1] == "LOCAL":
+            p.stats[tokens[2]] = (float(tokens[3]), float(tokens[4]))
+        # other keys (DATE, NSEQ, EFFN, CKSUM, ...) are not needed
     if p.alphabet != "amino":
         raise HMMFileError(f"only amino profiles supported, got {p.alphabet!r}")
     if p.length <= 0:
@@ -130,12 +137,15 @@ def _read_one(fp) -> HMMProfile:
     match_rows: list[np.ndarray] = []
     consensus: list[str] = []
 
+    insert_rows: list[np.ndarray] = []
+
     # Node 0 (BEGIN): optional COMPO line, insert line, transition line.
     line = fp.readline()
     tokens = line.split()
     if tokens and tokens[0] == "COMPO":
         p.compo = _parse_scores(tokens[1 : 1 + NUM_AMINO])
-        line = fp.readline()  # node-0 insert emissions (unused)
+        line = fp.readline()  # node-0 insert emissions
+    insert_rows.append(_parse_scores(line.split()[:NUM_AMINO]))
     trans_line = fp.readline()
     trans_rows.append(_parse_scores(trans_line.split()[:NUM_TRANS]))
 
@@ -152,7 +162,7 @@ def _read_one(fp) -> HMMProfile:
         # hmr reads CONS as the 2nd excess column; we take token 21+1 if there)
         excess = tokens[1 + NUM_AMINO :]
         consensus.append(excess[1] if len(excess) > 1 else "-")
-        fp.readline()  # insert emissions (fixed to background; unused)
+        insert_rows.append(_parse_scores(fp.readline().split()[:NUM_AMINO]))
         trans_rows.append(_parse_scores(fp.readline().split()[:NUM_TRANS]))
 
     term = fp.readline()
@@ -161,6 +171,7 @@ def _read_one(fp) -> HMMProfile:
 
     p.match_lprobs = np.stack(match_rows).astype(np.float32)
     p.trans = np.stack(trans_rows).astype(np.float32)
+    p.insert_lprobs = np.stack(insert_rows).astype(np.float32)
     p.consensus = "".join(consensus)
     return p
 

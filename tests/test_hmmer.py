@@ -1,0 +1,190 @@
+"""HMMER layer: native Forward scorer vs brute force, wire client, daemon."""
+
+import math
+
+import numpy as np
+import pytest
+
+from deciphon_tpu.hmmer.client import HMMERClient
+from deciphon_tpu.hmmer.daemon import FakeHMMERDaemon
+from deciphon_tpu.hmmer.forward import (AminoForwardScorer, LN2,
+                                        NativeConfirmer)
+from deciphon_tpu.hmmer.h3result import H3Domain, H3Result
+from deciphon_tpu.hmmfile import HMMProfile, NUM_AMINO, read_hmm
+from deciphon_tpu.profile import NULL_AMINO_LPROBS
+from deciphon_tpu.xtrans import xtrans_setup
+
+MINIFAM = "/root/reference/c-core/minifam.hmm"
+
+
+def tiny_hmm(seed: int, K: int) -> HMMProfile:
+    rng = np.random.default_rng(seed)
+
+    def lprobs(n):
+        p = rng.random(n)
+        return np.log(p / p.sum())
+
+    match = np.stack([lprobs(NUM_AMINO) for _ in range(K)])
+    trans = np.stack([lprobs(7) for _ in range(K + 1)])
+    hmm = HMMProfile(name=f"t{seed}", accession=f"T{seed}", length=K,
+                     consensus="-" * K,
+                     match_lprobs=match.astype(np.float32),
+                     trans=trans.astype(np.float32))
+    hmm.stats["FORWARD"] = (-5.0, 0.7)
+    return hmm
+
+
+def brute_forward_bits(hmm: HMMProfile, seq_idx: list[int]) -> float:
+    """Sum over all paths of the local multihit model, log-space, f64."""
+    K, L = hmm.length, len(seq_idx)
+    t = hmm.trans.astype(np.float64)
+    em = hmm.match_lprobs.astype(np.float64) - NULL_AMINO_LPROBS[None, :]
+    x = xtrans_setup(True, False, L)
+    tbm = np.log(2.0 * (K - np.arange(K)) / (K * (K + 1.0)))
+
+    from deciphon_tpu.hmmfile import T_DD, T_DM, T_II, T_IM, T_MD, T_MI, T_MM
+
+    def lse(vals):
+        vals = [v for v in vals if v > -1e29]
+        if not vals:
+            return -np.inf
+        m = max(vals)
+        return m + math.log(sum(math.exp(v - m) for v in vals))
+
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def rest(state, k, pos):
+        """log sum of path weights from (state at pos) to T at L.
+
+        Emit-on-loop state machine: N/J/C emit one residue (odds 0) per
+        self-loop; E->J, E->C, E->B-ish hops and M/D->E exits are mute.
+        """
+        if state == "T":
+            return 0.0 if pos == L else -np.inf
+        out = []
+        if state == "N":
+            out.append(x.NB + rest("B", -1, pos))
+            if pos < L:
+                out.append(x.NN + rest("N", -1, pos + 1))
+        elif state == "B":
+            if pos < L:
+                for kk in range(K):
+                    out.append(tbm[kk] + em[kk, seq_idx[pos]]
+                               + rest("M", kk, pos + 1))
+        elif state == "M":
+            if k + 1 < K and pos < L:
+                out.append(t[k + 1, T_MM] + em[k + 1, seq_idx[pos]]
+                           + rest("M", k + 1, pos + 1))
+            if k + 1 < K:
+                out.append(t[k + 1, T_MD] + rest("D", k + 1, pos))
+            if pos < L:
+                out.append(t[k + 1, T_MI] + rest("I", k, pos + 1))
+            out.append(rest("E", -1, pos))  # free local exit
+        elif state == "I":
+            if k + 1 < K and pos < L:
+                out.append(t[k + 1, T_IM] + em[k + 1, seq_idx[pos]]
+                           + rest("M", k + 1, pos + 1))
+            if pos < L:
+                out.append(t[k + 1, T_II] + rest("I", k, pos + 1))
+        elif state == "D":
+            if k + 1 < K and pos < L:
+                out.append(t[k + 1, T_DM] + em[k + 1, seq_idx[pos]]
+                           + rest("M", k + 1, pos + 1))
+            if k + 1 < K:
+                out.append(t[k + 1, T_DD] + rest("D", k + 1, pos))
+            out.append(rest("E", -1, pos))  # free local exit
+        elif state == "E":
+            out.append(x.EJ + rest("J", -1, pos))
+            out.append(x.EC + rest("C", -1, pos))
+        elif state == "J":
+            out.append(x.JB + rest("B", -1, pos))
+            if pos < L:
+                out.append(x.JJ + rest("J", -1, pos + 1))
+        elif state == "C":
+            out.append(x.CT + rest("T", -1, pos))
+            if pos < L:
+                out.append(x.CC + rest("C", -1, pos + 1))
+        return lse(out)
+
+    fwd = rest("N", -1, 0)  # S->N is free
+    null_len = L * math.log(L / (L + 1.0)) + math.log(1.0 / (L + 1.0))
+    return (fwd - null_len) / LN2
+
+
+@pytest.mark.parametrize("seed,K,L", [(1, 2, 4), (2, 3, 5), (3, 2, 6)])
+def test_forward_matches_bruteforce(seed, K, L):
+    hmm = tiny_hmm(seed, K)
+    rng = np.random.default_rng(seed + 50)
+    seq_idx = rng.integers(0, NUM_AMINO, size=L).tolist()
+    amino = "".join("ACDEFGHIKLMNPQRSTVWY"[i] for i in seq_idx)
+
+    scorer = AminoForwardScorer([hmm])
+    got = scorer.bit_score(0, amino)
+    expected = brute_forward_bits(hmm, seq_idx)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-3)
+
+
+def test_minifam_consensus_scores_high():
+    hmms = read_hmm(MINIFAM)
+    scorer = AminoForwardScorer(hmms)
+    # Translate the Homoserine_dh consensus back to its own aminos via the
+    # profile consensus annotation.
+    for idx, hmm in enumerate(hmms):
+        score = scorer.bit_score(idx, hmm.consensus.upper())
+        assert score > 50.0, (hmm.name, score)
+        other = (idx + 1) % len(hmms)
+        cross = scorer.bit_score(other, hmm.consensus.upper())
+        assert cross < score
+
+
+def test_native_confirmer_policy():
+    hmms = read_hmm(MINIFAM)
+    conf = NativeConfirmer(hmms)
+    logeval, blob = conf.confirm(0, hmms[0].consensus.upper())
+    assert logeval < 0
+    assert blob is not None
+    h3r = H3Result.from_blob(blob)
+    assert h3r.nhits == 1
+    assert h3r.hits[0].acc == hmms[0].accession
+    # junk sequence is rejected
+    logeval, blob = conf.confirm(0, "AAAA")
+    assert logeval == 0.0 and blob is None
+
+
+def test_fake_daemon_roundtrip():
+    canned = H3Result.single_hit(
+        name="prof", acc="PF000", score=42.0, lnP=-30.0, Z=3.0,
+        qlen=10, seqlen=20,
+        domains=[H3Domain(env_start=1, env_stop=20, score=41.0)])
+
+    def responder(hmmidx, seq):
+        assert hmmidx == 2
+        assert seq == "MAGIC"
+        return canned
+
+    with FakeHMMERDaemon(responder) as daemon:
+        client = HMMERClient("127.0.0.1", daemon.port, num_proteins=3,
+                             has_ga=False, warmup=False)
+        with client:
+            res = client.get(2, "MAGIC")
+            assert res.nhits == 1
+            assert res.hits[0].score == 42.0
+            assert res.hits[0].domains[0].env_stop == 20
+            logeval, blob = client.confirm(2, "MAGIC")
+            assert logeval == pytest.approx(-30.0 + math.log(3.0))
+            assert H3Result.from_blob(blob).hits[0].acc == "PF000"
+
+
+def test_fake_daemon_error_status():
+    def responder(hmmidx, seq):
+        raise ValueError("boom")
+
+    with FakeHMMERDaemon(responder) as daemon:
+        from deciphon_tpu.hmmer.client import HMMERError
+
+        client = HMMERClient("127.0.0.1", daemon.port, num_proteins=1,
+                             has_ga=True, warmup=False)
+        with client:
+            with pytest.raises(HMMERError, match="boom"):
+                client.get(0, "SEQ")

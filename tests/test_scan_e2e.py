@@ -104,3 +104,32 @@ def test_engine_equivalence_pallas_interpret(minifam_profiles,
                     ScanConfig(engine="pallas-interpret")).run(
         seqs, str(tmp_path / "pal"))
     assert open(out_j).read() == open(out_p).read()
+
+
+def test_scan_with_native_confirmation(minifam_profiles, consensus_sequences,
+                                       tmp_path):
+    from deciphon_tpu.hmmer.forward import NativeConfirmer
+    from deciphon_tpu.hmmfile import read_hmm
+    from deciphon_tpu.snap.snap_file import make_snap_archive, read_snap
+
+    confirmer = NativeConfirmer(read_hmm(MINIFAM))
+    scanner = Scanner(minifam_profiles, ScanConfig(engine="jax"),
+                      confirmer=confirmer.confirm)
+    basedir = str(tmp_path / "conf")
+    import os
+
+    os.makedirs(basedir)
+    out = scanner.run(consensus_sequences[:3], basedir)
+    rows = read_products(out)
+    assert rows, "confirmed scan must keep the consensus hits"
+    for r in rows:
+        evalue = float(r[10])
+        assert evalue < 1e-5  # consensus reads are overwhelming hits
+
+    dcs = make_snap_archive(basedir, str(tmp_path / "conf.dcs"))
+    prods = read_snap(dcs).products
+    assert all(p.h3result_blob is not None for p in prods)
+    from deciphon_tpu.hmmer.h3result import H3Result
+
+    h3r = H3Result.from_blob(prods[0].h3result_blob)
+    assert h3r.nhits == 1
