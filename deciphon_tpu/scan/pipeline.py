@@ -96,9 +96,14 @@ class Scanner:
         self._decoders: dict[int, Decoder] = {}
         self.progress_done = 0
         self.progress_total = 0
+        self.metrics = None  # set per run()
 
     # ------------------------------------------------------------------
     def run(self, sequences: list[Sequence], product_dir: str) -> str:
+        from ..logging import ScanMetrics, get_logger
+
+        self.metrics = ScanMetrics()
+        log = get_logger("deciphon_tpu.scan")
         writer = ProductWriter(product_dir)
         P, S = len(self.profiles), len(sequences)
         self.progress_total = max(P * S, 1)
@@ -121,11 +126,15 @@ class Scanner:
             batch = pending[: self.config.max_pairs * 8]
             rest = pending[len(batch):]
             scores = self.scorer.score(batch)
+            self.metrics.pairs_batches += 1
             nxt: list[PairItem] = []
             for it in batch:
+                self.metrics.add_window(
+                    it.win.length, self.profiles[it.p_idx].core_size)
                 null_c, alt_c = scores[id(it)]
                 line_lrt = lrt(null_c, alt_c)
                 if math.isfinite(line_lrt) and line_lrt >= 0:
+                    self.metrics.survivors += 1
                     self._phase2(it, sequences[it.s_idx], line_lrt,
                                  cursors[(it.p_idx, it.s_idx)], writer)
                 item = self._next_item(it.p_idx, it.s_idx,
@@ -138,6 +147,8 @@ class Scanner:
             pending = rest + nxt
 
         writer.sort_lines()
+        self.metrics.products = len(writer.lines)
+        log.info("scan done: %s", self.metrics.summary())
         return writer.close()
 
     def _next_item(self, p: int, s: int, cur: WindowCursor,
