@@ -78,7 +78,7 @@ class Scanner:
     """
 
     def __init__(self, profiles: list[FrameProfile], config: ScanConfig = None,
-                 confirmer=None, abc_name: str = "dna"):
+                 confirmer=None, abc_name: str = "dna", scorer=None):
         self.profiles = profiles
         self.config = config or ScanConfig()
         self.confirmer = confirmer
@@ -87,8 +87,14 @@ class Scanner:
             build_costs(p, self.config.multi_hits, self.config.hmmer3_compat)
             for p in profiles
         ]
-        if self.config.engine == "jax":
+        if scorer is not None:
+            self.scorer = scorer(self.costs) if callable(scorer) else scorer
+        elif self.config.engine == "jax":
             self.scorer = JaxPairScorer(self.costs)
+        elif self.config.engine == "pallas-multi":
+            from ..parallel.multidevice import MultiDevicePairScorer
+
+            self.scorer = MultiDevicePairScorer(self.costs)
         else:
             self.scorer = PairScorer(
                 self.costs,
@@ -97,14 +103,23 @@ class Scanner:
         self.progress_done = 0
         self.progress_total = 0
         self.metrics = None  # set per run()
+        self._checkpoint = False
 
     # ------------------------------------------------------------------
-    def run(self, sequences: list[Sequence], product_dir: str) -> str:
+    def run(self, sequences: list[Sequence], product_dir: str,
+            checkpoint: bool = False) -> str:
         from ..logging import ScanMetrics, get_logger
 
         self.metrics = ScanMetrics()
         log = get_logger("deciphon_tpu.scan")
         writer = ProductWriter(product_dir)
+        self._checkpoint = checkpoint
+        done_pairs: set[tuple[int, int]] = set()
+        if checkpoint:
+            done_pairs = writer.load_checkpoint()
+            if done_pairs:
+                log.info("resuming scan: %d pairs already complete",
+                         len(done_pairs))
         P, S = len(self.profiles), len(sequences)
         self.progress_total = max(P * S, 1)
         self.progress_done = 0
@@ -114,6 +129,9 @@ class Scanner:
         for p in range(P):
             K = self.profiles[p].core_size
             for s in range(S):
+                if (p, s) in done_pairs:
+                    self.progress_done += 1
+                    continue
                 cur = WindowCursor(K, sequences[s].size)
                 cursors[(p, s)] = cur
                 item = self._next_item(p, s, cur, sequences)
@@ -121,6 +139,8 @@ class Scanner:
                     pending.append(item)
                 else:
                     self.progress_done += 1
+                    if checkpoint:
+                        writer.journal_pair_done(p, s)
 
         while pending:
             batch = pending[: self.config.max_pairs * 8]
@@ -144,6 +164,8 @@ class Scanner:
                     nxt.append(item)
                 else:
                     self.progress_done += 1
+                    if self._checkpoint:
+                        writer.journal_pair_done(it.p_idx, it.s_idx)
             pending = rest + nxt
 
         writer.sort_lines()
@@ -241,7 +263,10 @@ class Scanner:
         else:
             if not amino_seq:
                 return
-        writer.add(line, order=(p_idx, seq.id, win.idx))
+        order = (p_idx, seq.id, win.idx)
+        writer.add(line, order=order)
+        if self._checkpoint:
+            writer.journal_line(line, order, (p_idx, it.s_idx))
 
 
 def segment_hits(path: list[tuple[int, int]]):

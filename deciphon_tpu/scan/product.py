@@ -78,12 +78,21 @@ class ProductWriter:
     Directory layout (c-core/product.c:15-31, product_thread.c:81-110):
       <dir>/products.tsv
       <dir>/hmmer/<seq>/<window>/<hit>/<profile>.h3r
+
+    Checkpointing (a TPU-build addition; the reference has no in-flight
+    scan durability, SURVEY.md §5): `journal_line` appends each product to
+    <dir>/.scan_checkpoint.jsonl as it is produced, and `load_checkpoint`
+    replays it, so an interrupted scan resumes without rescoring finished
+    (profile, sequence) pairs.
     """
+
+    CHECKPOINT = ".scan_checkpoint.jsonl"
 
     def __init__(self, dirname: str):
         self.dirname = dirname
         self.lines: list[ProductLine] = []
         self._orders: list[tuple] = []
+        self._journal_fp = None
 
     def add(self, line: ProductLine, order: tuple | None = None) -> None:
         self.lines.append(line)
@@ -112,7 +121,72 @@ class ProductWriter:
             fp.write(HEADER)
             for line in self.lines:
                 fp.write(line.render())
+        if self._journal_fp is not None:
+            self._journal_fp.close()
+            self._journal_fp = None
+        ckpt = os.path.join(self.dirname, self.CHECKPOINT)
+        if os.path.exists(ckpt):
+            os.unlink(ckpt)
         return path
+
+    # -- checkpoint / resume -------------------------------------------
+    def journal(self, record: dict) -> None:
+        import json
+
+        if self._journal_fp is None:
+            os.makedirs(self.dirname, exist_ok=True)
+            self._journal_fp = open(
+                os.path.join(self.dirname, self.CHECKPOINT), "a")
+        self._journal_fp.write(json.dumps(record) + "\n")
+        self._journal_fp.flush()
+
+    def journal_line(self, line: ProductLine, order: tuple,
+                     pair: tuple[int, int]) -> None:
+        self.journal({
+            "kind": "line", "order": list(order), "pair": list(pair),
+            "fields": {
+                "sequence": line.sequence, "window": line.window,
+                "window_start": line.window_start,
+                "window_stop": line.window_stop, "hit": line.hit,
+                "hit_start": line.hit_start, "hit_stop": line.hit_stop,
+                "profile": line.profile, "abc": line.abc, "lrt": line.lrt,
+                "logevalue": line.logevalue,
+                "steps": [s.render() for s in line.steps],
+            }})
+
+    def journal_pair_done(self, p_idx: int, s_idx: int) -> None:
+        self.journal({"kind": "pair_done", "pair": [p_idx, s_idx]})
+
+    def load_checkpoint(self) -> set[tuple[int, int]]:
+        """Replay a previous run's journal; returns completed pairs."""
+        import json
+
+        path = os.path.join(self.dirname, self.CHECKPOINT)
+        done: set[tuple[int, int]] = set()
+        if not os.path.exists(path):
+            return done
+        recorded: list[tuple[tuple, tuple, ProductLine]] = []
+        with open(path) as fp:
+            for raw in fp:
+                raw = raw.strip()
+                if not raw:
+                    continue
+                try:
+                    rec = json.loads(raw)
+                except ValueError:
+                    continue  # torn tail write
+                if rec["kind"] == "line":
+                    f = rec["fields"]
+                    steps = [MatchStep(*s.split(",")) for s in f.pop("steps")]
+                    recorded.append((tuple(rec["pair"]), tuple(rec["order"]),
+                                     ProductLine(steps=steps, **f)))
+                elif rec["kind"] == "pair_done":
+                    done.add(tuple(rec["pair"]))
+        # keep only lines of completed pairs; incomplete pairs rescan fully
+        for pair, order, line in recorded:
+            if pair in done:
+                self.add(line, order=order)
+        return done
 
 
 def fletcher16(path: str) -> int:
