@@ -230,19 +230,12 @@ def nuclt_marginal_lprobs(codon_lprobs: np.ndarray) -> np.ndarray:
     return q
 
 
-def emission_table(codon_lprobs: np.ndarray, epsilon: float,
-                   nuclt_lprobs: np.ndarray | None = None) -> np.ndarray:
-    """Build the (..., 1364) fragment log-prob table.
+def emission_table_terms(codon_lprobs: np.ndarray, epsilon: float,
+                         nuclt_lprobs: np.ndarray | None = None) -> np.ndarray:
+    """Reference implementation: explicit term enumeration + logsumexp.
 
-    Args:
-      codon_lprobs: (..., 4, 4, 4) normalized codon log-probs (any number of
-        leading batch dims, e.g. K profile nodes).
-      epsilon: the indel error probability ε.
-      nuclt_lprobs: optional (..., 4) background nucleotide log-probs; if
-        None, derived from the codon marginals (the reference always derives
-        them this way, c-core/model.c:439).
-
-    Returns float64 (..., 1364) table;  Σ exp(table) == 1 per batch element.
+    Kept as the oracle for the GEMM fast path (emission_table); identical
+    math, O(T) slower.
     """
     marg = codon_marginals(codon_lprobs)  # (..., 5,5,5)
     if nuclt_lprobs is None:
@@ -272,6 +265,66 @@ def emission_table(codon_lprobs: np.ndarray, epsilon: float,
         out = np.log(np.sum(np.exp(terms - safe_m), axis=-1)) + safe_m[..., 0]
         out = np.where(np.isfinite(m[..., 0]), out, -np.inf)
     return out
+
+
+@lru_cache(maxsize=8)
+def emission_feature_matrix(epsilon: float) -> np.ndarray:
+    """Static (3125, 1364) f64 matrix W for the one-GEMM press.
+
+    The term-enumeration logsumexp is *bilinear* in the exponentiated
+    codon marginals pm and the insertion-base probabilities qe:
+      p(F) = Σ_j exp(const_j) * qe[ins0_j] * qe[ins1_j] * pm[pattern_j]
+    so with features X[(p, a, b)] = pm[p] * qe[a] * qe[b] (125 patterns x
+    5 x 5 insertion symbols, slot 4 = "none" = 1) the whole table is one
+    (K, 3125) x (3125, 1364) GEMM — the MXU-shaped formulation of the
+    press hot loop (c-core/protein.c:95-104, OpenMP over nodes).
+    """
+    di_class, pat, ins0, ins1 = _term_tables()
+    consts = _di_class_logconst(epsilon)
+    consts_pad = np.concatenate([consts, [0.0]])  # padding never selected
+    w = np.where(di_class >= 0,
+                 np.exp(consts_pad[np.maximum(di_class, 0)]), 0.0)  # (C, T)
+    a = np.where(ins0 >= 0, ins0, 4)
+    b = np.where(ins1 >= 0, ins1, 4)
+    feat = (pat * 5 + a) * 5 + b  # (C, T) feature index
+    W = np.zeros((125 * 25, TABLE_SIZE))
+    np.add.at(W, (feat.ravel(), np.repeat(np.arange(TABLE_SIZE),
+                                          feat.shape[1])), w.ravel())
+    return W
+
+
+def emission_table(codon_lprobs: np.ndarray, epsilon: float,
+                   nuclt_lprobs: np.ndarray | None = None) -> np.ndarray:
+    """Build the (..., 1364) fragment log-prob table (one-GEMM fast path).
+
+    Args:
+      codon_lprobs: (..., 4, 4, 4) normalized codon log-probs (any number of
+        leading batch dims, e.g. K profile nodes).
+      epsilon: the indel error probability ε.
+      nuclt_lprobs: optional (..., 4) background nucleotide log-probs; if
+        None, derived from the codon marginals (the reference always derives
+        them this way, c-core/model.c:439).
+
+    Returns float64 (..., 1364) table;  Σ exp(table) == 1 per batch element.
+    Validated against emission_table_terms in tests/test_frame.py.
+    """
+    x = np.asarray(codon_lprobs, dtype=np.float64)
+    if nuclt_lprobs is None:
+        q = nuclt_marginal_lprobs(x)
+    else:
+        q = np.asarray(nuclt_lprobs, dtype=np.float64)
+    marg = codon_marginals(x)  # (..., 5,5,5)
+    batch = marg.shape[:-3]
+    pm = np.exp(marg.reshape(batch + (125,)))
+    qe = np.concatenate([np.exp(q), np.ones(batch + (1,))], axis=-1)  # (...,5)
+
+    qp = qe[..., :, None] * qe[..., None, :]  # (..., 5, 5)
+    X = (pm[..., :, None] * qp.reshape(batch + (1, 25))).reshape(
+        batch + (125 * 25,))
+    W = emission_feature_matrix(float(epsilon))
+    p = X @ W
+    with np.errstate(divide="ignore"):
+        return np.log(p)
 
 
 def match_pattern_matrix() -> np.ndarray:

@@ -83,3 +83,18 @@ def test_frag_code_roundtrip():
         syms = frame.frag_symbols(code)
         assert frame.frag_code(syms) == code
         assert frame.frag_len(code) == len(syms)
+
+
+def test_emission_gemm_matches_term_enumeration():
+    """The one-GEMM fast path must reproduce the explicit enumeration."""
+    import numpy as np
+
+    from deciphon_tpu import frame
+
+    rng = np.random.default_rng(11)
+    x = rng.random((5, 64))
+    x = np.log(x / x.sum(axis=1, keepdims=True)).reshape(5, 4, 4, 4)
+    for eps in (0.0, 0.01, 0.25):
+        fast = frame.emission_table(x, eps)
+        slow = frame.emission_table_terms(x, eps)
+        np.testing.assert_allclose(fast, slow, rtol=1e-10, atol=1e-12)
