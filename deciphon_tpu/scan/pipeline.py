@@ -93,10 +93,14 @@ class Scanner:
             self.scorer = JaxPairScorer(self.costs)
         elif self.config.engine == "pallas-multi":
             from ..parallel.multidevice import MultiDevicePairScorer
+            from .scheduler import BucketedPairScorer
 
-            self.scorer = MultiDevicePairScorer(self.costs)
+            self.scorer = BucketedPairScorer(
+                self.costs, scorer_factory=MultiDevicePairScorer)
         else:
-            self.scorer = PairScorer(
+            from .scheduler import BucketedPairScorer
+
+            self.scorer = BucketedPairScorer(
                 self.costs,
                 interpret=(self.config.engine == "pallas-interpret"))
         self._decoders: dict[int, Decoder] = {}

@@ -148,6 +148,55 @@ class PairScorer:
         return results
 
 
+class BucketedPairScorer:
+    """Partitions profiles into core-size buckets, one PairScorer each.
+
+    A single stacked table forces every profile to the largest profile's
+    lane padding; real databases (Pfam: K from ~30 to ~2000+) would waste
+    most of HBM and compute.  Buckets are powers of two over Kp, the
+    TPU analog of the reference's contiguous protein partitions
+    (c-core/protein_reader.c:29-53).
+    """
+
+    def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
+                 kappa: int | None = None,
+                 scorer_factory=None):
+        from ..ops import viterbi_pallas as vp
+
+        factory = scorer_factory or (
+            lambda costs: PairScorer(costs, interpret=interpret, kappa=kappa))
+        buckets: dict[int, list[int]] = {}
+        for i, c in enumerate(costs_list):
+            kp = vp.round_up(max(c.K + 2, 128), 128)
+            b = 128
+            while b < kp:
+                b *= 2
+            buckets.setdefault(b, []).append(i)
+        self._map: dict[int, tuple[int, int]] = {}
+        self.scorers = []
+        for b, idxs in sorted(buckets.items()):
+            for local, gi in enumerate(idxs):
+                self._map[gi] = (len(self.scorers), local)
+            self.scorers.append(factory([costs_list[i] for i in idxs]))
+
+    def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
+        by_scorer: dict[int, list[PairItem]] = {}
+        remap: dict[int, int] = {}
+        for it in items:
+            si, local = self._map[it.p_idx]
+            remap[id(it)] = it.p_idx
+            it.p_idx = local
+            by_scorer.setdefault(si, []).append(it)
+        results: dict[int, tuple[float, float]] = {}
+        try:
+            for si, group in by_scorer.items():
+                results.update(self.scorers[si].score(group))
+        finally:
+            for it in items:  # restore global indices
+                it.p_idx = remap[id(it)]
+        return results
+
+
 class JaxPairScorer:
     """lax.scan fallback scorer (CPU tests, debugging): same contract as
     PairScorer, built on ops.engine.scan_scores per pair."""

@@ -1,7 +1,7 @@
 // Native support library for deciphon_tpu.
 //
 // Contents:
-//   * a striped SIMD (AVX2, 8 x f32) min-plus frame-Viterbi score kernel —
+//   * a striped SIMD (AVX-512 16 x f32, or AVX2 8 x f32) min-plus frame-Viterbi score kernel —
 //     a fresh implementation of the reference's published algorithm
 //     (c-core/viterbi.c: Farrar-style striping over profile nodes with a
 //     lazy delete-chain correction loop) used as the measured CPU baseline
@@ -25,22 +25,51 @@
 
 namespace {
 
-constexpr int kLanes = 8;       // AVX2 f32 lanes
 constexpr int kTable = 1364;    // fragment codes (lengths 1..5)
 constexpr float kInf = 1e30f;   // big-but-finite infinity (min-plus safe)
 
-inline __m256 vmin(__m256 a, __m256 b) { return _mm256_min_ps(a, b); }
-inline __m256 vadd(__m256 a, __m256 b) { return _mm256_add_ps(a, b); }
+#if defined(__AVX512F__)
+
+using vec = __m512;
+constexpr int kLanes = 16;  // AVX-512 f32 lanes
+inline vec vset1(float v) { return _mm512_set1_ps(v); }
+inline vec vload(const float* p) { return _mm512_load_ps(p); }
+inline vec vmin(vec a, vec b) { return _mm512_min_ps(a, b); }
+inline vec vadd(vec a, vec b) { return _mm512_add_ps(a, b); }
 
 // Shift one lane up: out[e] = in[e-1], out[0] = +inf.  Used when moving
 // from pack Q-1 back to pack 0 (striped node k-1 crossing a lane).
-inline __m256 lane_shift(__m256 x) {
-  __m256 perm = _mm256_permutevar8x32_ps(
-      x, _mm256_setr_epi32(7, 0, 1, 2, 3, 4, 5, 6));
-  return _mm256_blend_ps(perm, _mm256_set1_ps(kInf), 0x01);
+inline vec lane_shift(vec x) {
+  const __m512i idx = _mm512_setr_epi32(15, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                        10, 11, 12, 13, 14);
+  vec perm = _mm512_permutexvar_ps(idx, x);
+  return _mm512_mask_mov_ps(perm, 0x0001, _mm512_set1_ps(kInf));
 }
 
-inline float hmin(__m256 x) {
+inline float hmin(vec x) { return _mm512_reduce_min_ps(x); }
+
+inline bool all_leq(vec a, vec b) {  // a[e] <= b[e] for all lanes?
+  return _mm512_cmp_ps_mask(a, b, _CMP_GT_OQ) == 0;
+}
+
+#else  // AVX2
+
+using vec = __m256;
+constexpr int kLanes = 8;  // AVX2 f32 lanes
+inline vec vset1(float v) { return _mm256_set1_ps(v); }
+inline vec vload(const float* p) { return _mm256_load_ps(p); }
+inline vec vmin(vec a, vec b) { return _mm256_min_ps(a, b); }
+inline vec vadd(vec a, vec b) { return _mm256_add_ps(a, b); }
+
+// Shift one lane up: out[e] = in[e-1], out[0] = +inf.  Used when moving
+// from pack Q-1 back to pack 0 (striped node k-1 crossing a lane).
+inline vec lane_shift(vec x) {
+  vec perm = _mm256_permutevar8x32_ps(
+      x, _mm256_setr_epi32(7, 0, 1, 2, 3, 4, 5, 6));
+  return _mm256_blend_ps(perm, vset1(kInf), 0x01);
+}
+
+inline float hmin(vec x) {
   __m128 lo = _mm256_castps256_ps128(x);
   __m128 hi = _mm256_extractf128_ps(x, 1);
   __m128 m = _mm_min_ps(lo, hi);
@@ -49,18 +78,20 @@ inline float hmin(__m256 x) {
   return _mm_cvtss_f32(m);
 }
 
-inline bool all_leq(__m256 a, __m256 b) {  // a[e] <= b[e] for all lanes?
-  __m256 gt = _mm256_cmp_ps(a, b, _CMP_GT_OQ);
+inline bool all_leq(vec a, vec b) {  // a[e] <= b[e] for all lanes?
+  vec gt = _mm256_cmp_ps(a, b, _CMP_GT_OQ);
   return _mm256_movemask_ps(gt) == 0;
 }
+
+#endif
 
 struct Profile {
   int K = 0;
   int Q = 0;  // packs: ceil(K / kLanes)
   // striped vectors, Q packs each; node k -> pack k % Q, lane k / Q
-  std::vector<__m256> bm, mm, mi, md, im, ii, dm, dd;
+  std::vector<vec> bm, mm, mi, md, im, ii, dm, dd;
   // match emission, striped: ems[code * Q + q]
-  std::vector<__m256> ems;
+  std::vector<vec> ems;
   std::vector<float> null_em, bg_em;  // (1364,)
 };
 
@@ -68,29 +99,29 @@ struct Profile {
 // BM MM MI MD IM II DM DD (dest-indexed); match (1364, K); min-plus costs.
 enum { CT_BM, CT_MM, CT_MI, CT_MD, CT_IM, CT_II, CT_DM, CT_DD };
 
-void stripe(const float* src, int K, int Q, std::vector<__m256>& dst) {
+void stripe(const float* src, int K, int Q, std::vector<vec>& dst) {
   dst.resize(Q);
-  alignas(32) float tmp[kLanes];
+  alignas(64) float tmp[kLanes];
   for (int q = 0; q < Q; ++q) {
     for (int e = 0; e < kLanes; ++e) {
       int k = e * Q + q;
       tmp[e] = (k < K) ? src[k] : kInf;
     }
-    dst[q] = _mm256_load_ps(tmp);
+    dst[q] = vload(tmp);
   }
 }
 
 struct Ring {
   // 5-slot ring of striped rows (M, I, D) + special scalars.
-  std::vector<__m256> M, I, D;  // 5 * Q
+  std::vector<vec> M, I, D;  // 5 * Q
   float S[5], N[5], B[5], J[5], C[5], E[5];
   int Q = 0;
 
   void reset(int q, float sb) {
     Q = q;
-    M.assign(5 * Q, _mm256_set1_ps(kInf));
-    I.assign(5 * Q, _mm256_set1_ps(kInf));
-    D.assign(5 * Q, _mm256_set1_ps(kInf));
+    M.assign(5 * Q, vset1(kInf));
+    I.assign(5 * Q, vset1(kInf));
+    D.assign(5 * Q, vset1(kInf));
     for (int i = 0; i < 5; ++i) S[i] = N[i] = B[i] = J[i] = C[i] = E[i] = kInf;
     S[0] = 0.0f;
     B[0] = sb;
@@ -106,41 +137,41 @@ float viterbi_score(const Profile& p, const int32_t* codes, int L,
   const int Q = p.Q;
   Ring ring;
   ring.reset(Q, xt[XT_SB]);
-  std::vector<__m256> Mn(Q), In(Q), Dn(Q);
+  std::vector<vec> Mn(Q), In(Q), Dn(Q);
   float t_final = kInf;
 
   for (int l = 1; l <= L; ++l) {
     int slot = l % 5;
     // ---- core M / I over the five durations ----
     for (int q = 0; q < Q; ++q) {
-      Mn[q] = _mm256_set1_ps(kInf);
-      In[q] = _mm256_set1_ps(kInf);
+      Mn[q] = vset1(kInf);
+      In[q] = vset1(kInf);
     }
     float n_new = kInf, j_new = kInf, c_new = kInf;
     for (int t = 1; t <= 5; ++t) {
       if (t > l) break;
       int prev = (l - t) % 5;
       int32_t code = codes[(l - 1) * 5 + (t - 1)];
-      const __m256* em = &p.ems[(size_t)code * Q];
+      const vec* em = &p.ems[(size_t)code * Q];
       float nil = p.null_em[code];
       float bg = p.bg_em[code];
-      const __m256* Mp = &ring.M[prev * Q];
-      const __m256* Ip = &ring.I[prev * Q];
-      const __m256* Dp = &ring.D[prev * Q];
-      __m256 bprev = _mm256_set1_ps(ring.B[prev]);
-      __m256 bgv = _mm256_set1_ps(bg);
+      const vec* Mp = &ring.M[prev * Q];
+      const vec* Ip = &ring.I[prev * Q];
+      const vec* Dp = &ring.D[prev * Q];
+      vec bprev = vset1(ring.B[prev]);
+      vec bgv = vset1(bg);
 
       // pack -1 is lane-shifted pack Q-1 of the t-previous row
-      __m256 mshift = lane_shift(Mp[Q - 1]);
-      __m256 ishift = lane_shift(Ip[Q - 1]);
-      __m256 dshift = lane_shift(Dp[Q - 1]);
+      vec mshift = lane_shift(Mp[Q - 1]);
+      vec ishift = lane_shift(Ip[Q - 1]);
+      vec dshift = lane_shift(Dp[Q - 1]);
       for (int q = 0; q < Q; ++q) {
-        __m256 cand = vadd(bprev, p.bm[q]);
+        vec cand = vadd(bprev, p.bm[q]);
         cand = vmin(cand, vadd(mshift, p.mm[q]));
         cand = vmin(cand, vadd(ishift, p.im[q]));
         cand = vmin(cand, vadd(dshift, p.dm[q]));
         Mn[q] = vmin(Mn[q], vadd(cand, em[q]));
-        __m256 icand = vmin(vadd(Ip[q], p.ii[q]), vadd(Mp[q], p.mi[q]));
+        vec icand = vmin(vadd(Ip[q], p.ii[q]), vadd(Mp[q], p.mi[q]));
         In[q] = vmin(In[q], vadd(icand, bgv));
         mshift = Mp[q];
         ishift = Ip[q];
@@ -157,10 +188,10 @@ float viterbi_score(const Profile& p, const int32_t* codes, int L,
     }
 
     // ---- delete chain (same position), lazy correction ----
-    __m256 mshift = lane_shift(Mn[Q - 1]);
-    __m256 carry = _mm256_set1_ps(kInf);
+    vec mshift = lane_shift(Mn[Q - 1]);
+    vec carry = vset1(kInf);
     for (int q = 0; q < Q; ++q) {
-      __m256 cand = vadd(mshift, p.md[q]);
+      vec cand = vadd(mshift, p.md[q]);
       Dn[q] = vmin(cand, vadd(carry, p.dd[q]));
       carry = Dn[q];
       mshift = Mn[q];
@@ -169,7 +200,7 @@ float viterbi_score(const Profile& p, const int32_t* codes, int L,
       carry = lane_shift(Dn[Q - 1]);
       bool done = true;
       for (int q = 0; q < Q; ++q) {
-        __m256 cand = vadd(carry, p.dd[q]);
+        vec cand = vadd(carry, p.dd[q]);
         if (!all_leq(Dn[q], cand)) {
           Dn[q] = vmin(Dn[q], cand);
           done = false;
@@ -180,7 +211,7 @@ float viterbi_score(const Profile& p, const int32_t* codes, int L,
     }
 
     // ---- E / B / T ----
-    __m256 emin = _mm256_set1_ps(kInf);
+    vec emin = vset1(kInf);
     for (int q = 0; q < Q; ++q) emin = vmin(emin, vmin(Mn[q], Dn[q]));
     float e_new = hmin(emin);
     float b_new = std::min({n_new + xt[XT_NB], e_new + xt[XT_EB],
@@ -239,7 +270,7 @@ void* dcpn_profile_new(int K, const float* core8xK, const float* match,
   stripe(row(CT_DM), K, p->Q, p->dm);
   stripe(row(CT_DD), K, p->Q, p->dd);
   p->ems.resize((size_t)kTable * p->Q);
-  std::vector<__m256> tmp;
+  std::vector<vec> tmp;
   for (int c = 0; c < kTable; ++c) {
     stripe(match + (size_t)c * K, K, p->Q, tmp);
     std::copy(tmp.begin(), tmp.end(), p->ems.begin() + (size_t)c * p->Q);
@@ -247,9 +278,9 @@ void* dcpn_profile_new(int K, const float* core8xK, const float* match,
   p->null_em.assign(null_em, null_em + kTable);
   p->bg_em.assign(bg_em, bg_em + kTable);
   // clamp +inf to the finite stand-in so min-plus arithmetic stays clean
-  auto clamp = [](std::vector<__m256>& v) {
-    __m256 cap = _mm256_set1_ps(kInf);
-    for (auto& x : v) x = _mm256_min_ps(x, cap);
+  auto clamp = [](std::vector<vec>& v) {
+    vec cap = vset1(kInf);
+    for (auto& x : v) x = vmin(x, cap);
   };
   clamp(p->bm); clamp(p->mm); clamp(p->mi); clamp(p->md);
   clamp(p->im); clamp(p->ii); clamp(p->dm); clamp(p->dd); clamp(p->ems);

@@ -71,3 +71,32 @@ def test_pack_windows_layout():
     assert ck[0, 1, 1, 4, 2] == codes[2, 9, 4]
     assert lens[0, :3, 0].tolist() == [10, 7, 9]
     assert lens[0, 3:, 0].tolist() == [0] * 5
+
+
+def test_bucketed_scorer_mixed_sizes():
+    """Profiles in different K buckets score identically to the jax engine."""
+    from deciphon_tpu.scan.scheduler import (BucketedPairScorer, PairItem,
+                                             JaxPairScorer)
+    from deciphon_tpu.scan.window import Window
+
+    costs = [build_costs(sample_profile(s, k))
+             for s, k in [(1, 6), (2, 150), (3, 9)]]
+    rng = np.random.default_rng(5)
+    items = []
+    for p_idx in range(3):
+        for w in range(3):
+            n = 30 + 7 * w
+            seq = rng.integers(0, 4, size=n).astype(np.int8)
+            items.append(PairItem(
+                p_idx=p_idx, s_idx=w, win=Window(idx=w, start=0, stop=n),
+                codes=frag_codes_ending(seq), multi_hits=True,
+                hmmer3_compat=False))
+
+    bucketed = BucketedPairScorer(costs, interpret=True)
+    assert len(bucketed.scorers) == 2  # buckets 128 and 256
+    got = bucketed.score(items)
+    want = JaxPairScorer(costs).score(items)
+    for it in items:
+        assert it.p_idx in (0, 1, 2)  # restored after scoring
+        np.testing.assert_allclose(got[id(it)], want[id(it)],
+                                   rtol=2e-6, atol=2e-5)
