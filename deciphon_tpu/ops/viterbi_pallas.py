@@ -101,9 +101,17 @@ def common_kp(costs_list: list[ViterbiCosts]) -> int:
     return round_up(max(c.K for c in costs_list), 128) + 128
 
 
-def _lane_shift1(x, lane_idx):
-    """out[..., k] = x[..., k-1]; +inf shifted into lane 0."""
+def _lane_shift1(x, lane_idx=None):
+    """out[..., k] = x[..., k-1]; lane 0 receives lane Kp-1's value.
+
+    When lane_idx is None the wraparound mask is skipped: every rotated-in
+    source (transition vectors and M rows at lane Kp-1) is +inf by the
+    build_tables construction (K <= Kp-2; pads carry inf costs), so the
+    wrapped value is already the +inf the recurrence needs.
+    """
     rolled = pltpu.roll(x, 1, axis=x.ndim - 1)
+    if lane_idx is None:
+        return rolled
     return jnp.where(lane_idx >= 1, rolled, INF)
 
 
@@ -125,12 +133,21 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     the small (5, W, 1) rings: axis0 = [S, B, N, J, C, E, R]."""
     nlb = pl.program_id(nlb_dim)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W, Kp), 2)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (W, Kp), 1)
     xt = xt_ref[0]  # (W, 16)
 
     def xtc(j):  # (W, 1) per-window special transition cost
         return xt[:, j:j + 1]
+
+    # loop-invariant transition vectors, read once per grid step
+    tv_mms = tvec_ref[0, TV_MMS]
+    tv_ims = tvec_ref[0, TV_IMS]
+    tv_dms = tvec_ref[0, TV_DMS]
+    tv_bm = tvec_ref[0, TV_BM]
+    tv_ii = tvec_ref[0, TV_II]
+    tv_mi = tvec_ref[0, TV_MI]
+    tv_md = tvec_ref[0, TV_MD]
+    tv_ddcum = tvec_ref[0, TV_DDCUM]
 
     @pl.when(nlb == 0)
     def _init():
@@ -145,18 +162,31 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
         Tfin[...] = jnp.full((W, 1), INF)
         Rfin[...] = jnp.full((W, 1), INF)
 
-    def step(i, _):
-        l = nlb * kappa + i + 1  # 1-based DP position
-
-        # ---- gather emission rows into slot-major scratch ----
+    def gather(i, buf):
+        """Fetch the 5 x W emission rows for DP position nlb*kappa+i+1
+        into double-buffer half `buf`, slot-major."""
+        l = nlb * kappa + i + 1
         for t in range(1, 6):
             slot_t = jax.lax.rem(l - t + 10, 5)
             for w in range(W):
                 c = codes_ref[0, 0, i, t - 1, w]
                 row = table_ref[0, pl.ds(c, 1), :]  # (1, Kp)
-                MA[pl.ds(slot_t, 1), pl.ds(w, 1), :] = row.reshape(1, 1, Kp)
+                MA[pl.ds(buf, 1), pl.ds(slot_t, 1), pl.ds(w, 1), :] = (
+                    row.reshape(1, 1, 1, Kp))
 
-        ma = MA[...]  # (5, W, Kp)
+    def step(i, _):
+        l = nlb * kappa + i + 1  # 1-based DP position
+
+        @pl.when(i == 0)
+        def _warm():
+            gather(0, 0)
+
+        # prefetch the next position's rows while computing this one
+        @pl.when(i + 1 < kappa)
+        def _prefetch():
+            gather(i + 1, jax.lax.rem(i + 1, 2))
+
+        ma = MA[jax.lax.rem(i, 2)]  # (5, W, Kp)
         nil = ma[:, :, Kp - 2:Kp - 1]  # (5, W, 1)
         bg = ma[:, :, Kp - 1:Kp]
 
@@ -170,22 +200,20 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
         Rr = SML[6]
 
         # ---- core M ----
-        inner = jnp.minimum(
-            jnp.minimum(Mr + tvec_ref[0, TV_MMS], Ir + tvec_ref[0, TV_IMS]),
-            Dr + tvec_ref[0, TV_DMS])  # source coords k-1
-        shifted = _lane_shift1(inner, lane)
-        bcand = Br + tvec_ref[0, TV_BM]  # (5,W,1)+(Kp,) -> (5,W,Kp)
+        inner = jnp.minimum(jnp.minimum(Mr + tv_mms, Ir + tv_ims),
+                            Dr + tv_dms)  # source coords k-1
+        shifted = _lane_shift1(inner)  # wrap lane is +inf by construction
+        bcand = Br + tv_bm  # (5,W,1)+(Kp,) -> (5,W,Kp)
         M_l = jnp.min(jnp.minimum(shifted, bcand) + ma, axis=0)  # (W, Kp)
 
         # ---- core I ----
-        icand = jnp.minimum(Ir + tvec_ref[0, TV_II], Mr + tvec_ref[0, TV_MI])
+        icand = jnp.minimum(Ir + tv_ii, Mr + tv_mi)
         I_l = jnp.min(icand + bg, axis=0)
 
         # ---- delete chain: D[k] = min(A[k], D[k-1]+DD[k]) via prefix scan
-        A = _lane_shift1(M_l, lane2) + tvec_ref[0, TV_MD]
-        ddcum = tvec_ref[0, TV_DDCUM]
-        G = A - ddcum
-        D_l = _lane_cummin(G, lane2, Kp) + ddcum
+        A = _lane_shift1(M_l) + tv_md  # M_l wrap lane is +inf too
+        G = A - tv_ddcum
+        D_l = _lane_cummin(G, lane2, Kp) + tv_ddcum
 
         # ---- specials (all (W, 1) vector math) ----
         E_l = jnp.minimum(jnp.min(M_l, axis=1, keepdims=True),
@@ -271,7 +299,7 @@ def viterbi_scores_grid(tables, tvecs, xts, lengths, codes, *, kappa=KAPPA,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((5, W, Kp), jnp.float32),  # MA (gathered emissions)
+            pltpu.VMEM((2, 5, W, Kp), jnp.float32),  # MA double buffer
             pltpu.VMEM((5, W, Kp), jnp.float32),  # M ring
             pltpu.VMEM((5, W, Kp), jnp.float32),  # I ring
             pltpu.VMEM((5, W, Kp), jnp.float32),  # D ring
@@ -336,7 +364,7 @@ def viterbi_scores_pairs(pidx, tables, tvecs, xts, lengths, codes, *,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((5, W, Kp), jnp.float32),
+            pltpu.VMEM((2, 5, W, Kp), jnp.float32),  # MA double buffer
             pltpu.VMEM((5, W, Kp), jnp.float32),
             pltpu.VMEM((5, W, Kp), jnp.float32),
             pltpu.VMEM((5, W, Kp), jnp.float32),
