@@ -51,6 +51,7 @@ NEG_BIG = np.float32(1e30)  # DD saturation (matches ops/viterbi_jax.py)
 
 W = 8  # windows per group (sublane dim)
 KAPPA = 32  # positions per l-block (codes SMEM block)
+PREFETCH = False  # double-buffer emission gathers (measured slower on v5e)
 
 # tvec row indices: transition vectors pre-laid-out for the kernel.
 TV_BM, TV_MMS, TV_MI, TV_MD, TV_IMS, TV_II, TV_DMS, TV_DDCUM = range(8)
@@ -177,16 +178,20 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     def step(i, _):
         l = nlb * kappa + i + 1  # 1-based DP position
 
-        @pl.when(i == 0)
-        def _warm():
-            gather(0, 0)
+        if PREFETCH:
+            @pl.when(i == 0)
+            def _warm():
+                gather(0, 0)
 
-        # prefetch the next position's rows while computing this one
-        @pl.when(i + 1 < kappa)
-        def _prefetch():
-            gather(i + 1, jax.lax.rem(i + 1, 2))
+            # prefetch the next position's rows while computing this one
+            @pl.when(i + 1 < kappa)
+            def _prefetch():
+                gather(i + 1, jax.lax.rem(i + 1, 2))
 
-        ma = MA[jax.lax.rem(i, 2)]  # (5, W, Kp)
+            ma = MA[jax.lax.rem(i, 2)]  # (5, W, Kp)
+        else:
+            gather(i, 0)
+            ma = MA[0]  # (5, W, Kp)
         nil = ma[:, :, Kp - 2:Kp - 1]  # (5, W, 1)
         bg = ma[:, :, Kp - 1:Kp]
 
