@@ -137,3 +137,33 @@ def test_control_cli(sched, tmp_path, monkeypatch):
     scan_id = Poster(sched.url).scan_list()[0]["id"]
     r = runner.invoke(cli, ["snap", "get", str(scan_id), str(dest)], env=env)
     assert r.exit_code == 0 and dest.exists()
+
+
+def test_queue_claims_are_disjoint(sched):
+    """Two workers long-polling the queue never claim the same job."""
+    import threading
+
+    from deciphon_tpu.poster import Poster
+
+    p = Poster(sched.url)
+    sched.database.queue_publish("t-claims", '{"n": 1}')
+    sched.database.queue_publish("t-claims", '{"n": 2}')
+    sched.database.queue_publish("t-claims", '{"n": 3}')
+
+    got, lock = [], threading.Lock()
+
+    def worker():
+        local = Poster(sched.url)
+        while True:
+            msg = local.queue_next("t-claims", timeout=0)
+            if msg is None:
+                return
+            with lock:
+                got.append(msg["n"])
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(got) == [1, 2, 3]
