@@ -59,6 +59,15 @@ def press(hmmfile, gencode, epsilon, output, progress):
         if bar is not None:
             bar.stop()
     click.echo(f"wrote {out}")
+    # hmmpgmd needs hmmpress side files (h3m/h3i/h3f/h3p); the reference
+    # CLI always runs `hmmpress -f` after pressing (cli/deciphon/
+    # hmmer_press.py:9-10).  Only possible when HMMER is installed.
+    import shutil as _shutil
+    import subprocess as _subprocess
+
+    if _shutil.which("hmmpress"):
+        _subprocess.run(["hmmpress", "-f", str(hmmfile)], check=False,
+                        capture_output=True)
 
 
 @cli.command()

@@ -97,7 +97,10 @@ class Scan:
         try:
             basedir = snap.basedir
             basedir.mkdir(parents=True, exist_ok=True)
-            self._scanner.run(batch.prepared(), str(basedir))
+            self._scanner.run(batch.prepared(), str(basedir),
+                              should_stop=lambda: self.interrupted)
+        except Scanner.Interrupted:
+            pass  # reference semantics: interrupted run returns quietly
         except Exception as exc:
             raise DeciphonError(str(exc)) from exc
 

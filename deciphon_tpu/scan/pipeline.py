@@ -110,8 +110,11 @@ class Scanner:
         self._checkpoint = False
 
     # ------------------------------------------------------------------
+    class Interrupted(RuntimeError):
+        pass
+
     def run(self, sequences: list[Sequence], product_dir: str,
-            checkpoint: bool = False) -> str:
+            checkpoint: bool = False, should_stop=None) -> str:
         from ..logging import ScanMetrics, get_logger
 
         self.metrics = ScanMetrics()
@@ -147,6 +150,11 @@ class Scanner:
                         writer.journal_pair_done(p, s)
 
         while pending:
+            if should_stop is not None and should_stop():
+                # interrupt contract (c-core/scan.c:199-204): stop between
+                # scoring rounds; with checkpointing the journal preserves
+                # finished pairs for a later resume.
+                raise Scanner.Interrupted("scan interrupted")
             batch = pending[: self.config.max_pairs * 8]
             rest = pending[len(batch):]
             scores = self.scorer.score(batch)

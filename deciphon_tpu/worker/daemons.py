@@ -116,7 +116,8 @@ class ScannerDaemon:
             workdir = req.snap_path + ".work"
             basedir = os.path.join(workdir, base)
             os.makedirs(basedir, exist_ok=True)
-            self.scanner.run(req.sequences, basedir)
+            self.scanner.run(req.sequences, basedir,
+                             should_stop=lambda: prog.interrupted)
             prog.check_interrupted()
             make_snap_archive(basedir, req.snap_path)
             import shutil

@@ -59,3 +59,17 @@ def test_progressor_interrupt():
     prog.interrupt()
     with pytest.raises(Interrupted):
         prog.check_interrupted()
+
+
+def test_scanner_daemon_interrupt(tmp_path):
+    from deciphon_tpu.scan.pipeline import Scanner
+
+    dcp = str(tmp_path / "minifam.dcp")
+    press(MINIFAM, dcp).result(timeout=120)
+    with launch_scanner(dcp, engine="jax") as daemon:
+        snap = str(tmp_path / "x.dcs")
+        prog = daemon.put(snap, consensus_seqs(2))
+        prog.interrupt()
+        with pytest.raises(Exception):
+            prog.result(timeout=600)
+        assert not os.path.exists(snap)
