@@ -52,6 +52,10 @@ NEG_BIG = np.float32(1e30)  # DD saturation (matches ops/viterbi_jax.py)
 W = 8  # windows per group (sublane dim)
 KAPPA = 32  # positions per l-block (codes SMEM block)
 PREFETCH = False  # double-buffer emission gathers (measured slower on v5e)
+# Gather strategy: "slot" = slot-major MA scratch round-trip (dynamic-slot
+# stores, one static ring read); "tregs" = t-ordered register gathers with
+# per-duration dynamic ring slices (no scratch round-trip).
+GATHER_MODE = "slot"
 
 # tvec row indices: transition vectors pre-laid-out for the kernel.
 TV_BM, TV_MMS, TV_MI, TV_MD, TV_IMS, TV_II, TV_DMS, TV_DDCUM = range(8)
@@ -64,15 +68,15 @@ def round_up(x: int, m: int) -> int:
 def build_tables(costs: ViterbiCosts, Kp: int | None = None):
     """Extended emission table + transition vectors for the kernel.
 
-    Returns (table (1364, K') f32, tvec (8, K') f32) where K' = K rounded
-    up to 128 plus one extra 128-lane group; lanes K..K'-3 are +inf pads,
-    lane K'-2 carries the null emission costs and lane K'-1 the background
-    (insert) emission costs, so the per-(t,w) row gather also fetches the
-    scalar-table values the special states need.
+    Returns (table (1364, K') f32, tvec (8, K') f32) where K' = K+2 rounded
+    up to 128 (the tightest vreg-aligned width); lanes K..K'-3 are +inf
+    pads, lane K'-2 carries the null emission costs and lane K'-1 the
+    background (insert) emission costs, so the per-(t,w) row gather also
+    fetches the scalar-table values the special states need.
     """
     K = costs.K
     if Kp is None:
-        Kp = round_up(K, 128) + 128
+        Kp = round_up(K + 2, 128)
     assert Kp >= K + 2
     table = np.full((TABLE_SIZE, Kp), np.inf, np.float32)
     table[:, :K] = costs.match
@@ -99,7 +103,7 @@ def build_tables(costs: ViterbiCosts, Kp: int | None = None):
 
 
 def common_kp(costs_list: list[ViterbiCosts]) -> int:
-    return round_up(max(c.K for c in costs_list), 128) + 128
+    return round_up(max(c.K for c in costs_list) + 2, 128)
 
 
 def _lane_shift1(x, lane_idx=None):
@@ -129,7 +133,9 @@ def _lane_cummin(x, lane_idx, Kp):
 def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
             alt_ref, null_ref,
             MA, M, I, D, SML, Tfin, Rfin, *, kappa, num_lblocks, Kp,
-            nlb_dim):
+            nlb_dim, mode=None, prefetch=None):
+    mode = GATHER_MODE if mode is None else mode
+    prefetch = PREFETCH if prefetch is None else prefetch
     """Grid: (..., NLB) — nlb_dim selects the l-block grid axis.  SML packs
     the small (5, W, 1) rings: axis0 = [S, B, N, J, C, E, R]."""
     nlb = pl.program_id(nlb_dim)
@@ -175,10 +181,78 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
                 MA[pl.ds(buf, 1), pl.ds(slot_t, 1), pl.ds(w, 1), :] = (
                     row.reshape(1, 1, 1, Kp))
 
+    def step_tregs(i, _):
+        """Variant step: t-ordered register gathers, per-duration dynamic
+        ring slices — no MA scratch round-trip (GATHER_MODE="tregs")."""
+        l = nlb * kappa + i + 1  # 1-based DP position
+
+        M_acc = jnp.full((W, Kp), INF)
+        I_acc = jnp.full((W, Kp), INF)
+        N_acc = jnp.full((W, 1), INF)
+        J_acc = jnp.full((W, 1), INF)
+        C_acc = jnp.full((W, 1), INF)
+        R_acc = jnp.full((W, 1), INF)
+        for t in range(1, 6):
+            rows = [table_ref[0, pl.ds(codes_ref[0, 0, i, t - 1, w], 1), :]
+                    for w in range(W)]
+            ma_t = jnp.concatenate(rows, axis=0)  # (W, Kp)
+            nil_t = ma_t[:, Kp - 2:Kp - 1]  # (W, 1)
+            bg_t = ma_t[:, Kp - 1:Kp]
+            s = jax.lax.rem(l - t + 10, 5)
+            Mr_t = M[pl.ds(s, 1)][0]  # (W, Kp)
+            Ir_t = I[pl.ds(s, 1)][0]
+            Dr_t = D[pl.ds(s, 1)][0]
+            sml_t = SML[:, pl.ds(s, 1), :, :]  # (7, 1, W, 1)
+            Sr_t, Br_t, Nr_t = sml_t[0, 0], sml_t[1, 0], sml_t[2, 0]
+            Jr_t, Cr_t, Er_t, Rr_t = (sml_t[3, 0], sml_t[4, 0], sml_t[5, 0],
+                                      sml_t[6, 0])
+            inner = jnp.minimum(jnp.minimum(Mr_t + tv_mms, Ir_t + tv_ims),
+                                Dr_t + tv_dms)
+            cand = jnp.minimum(_lane_shift1(inner), Br_t + tv_bm) + ma_t
+            M_acc = jnp.minimum(M_acc, cand)
+            I_acc = jnp.minimum(
+                I_acc, jnp.minimum(Ir_t + tv_ii, Mr_t + tv_mi) + bg_t)
+            N_acc = jnp.minimum(
+                N_acc, jnp.minimum(Sr_t + xtc(XT_SN), Nr_t + xtc(XT_NN))
+                + nil_t)
+            J_acc = jnp.minimum(
+                J_acc, jnp.minimum(Er_t + xtc(XT_EJ), Jr_t + xtc(XT_JJ))
+                + nil_t)
+            C_acc = jnp.minimum(
+                C_acc, jnp.minimum(Er_t + xtc(XT_EC), Cr_t + xtc(XT_CC))
+                + nil_t)
+            R_acc = jnp.minimum(R_acc, Rr_t + nil_t)
+
+        M_l, I_l = M_acc, I_acc
+        A = _lane_shift1(M_l) + tv_md
+        G = A - tv_ddcum
+        D_l = _lane_cummin(G, lane2, Kp) + tv_ddcum
+
+        E_l = jnp.minimum(jnp.min(M_l, axis=1, keepdims=True),
+                          jnp.min(D_l, axis=1, keepdims=True))
+        N_l, J_l, C_l = N_acc, J_acc, C_acc
+        B_l = jnp.minimum(jnp.minimum(N_l + xtc(XT_NB), E_l + xtc(XT_EB)),
+                          J_l + xtc(XT_JB))
+        T_l = jnp.minimum(E_l + xtc(XT_ET), C_l + xtc(XT_CT))
+        R_l = R_acc + xtc(XT_RR)
+
+        at_end = len_ref[0] == l
+        Tfin[...] = jnp.where(at_end, T_l, Tfin[...])
+        Rfin[...] = jnp.where(at_end, R_l, Rfin[...])
+
+        slot = jax.lax.rem(l, 5)
+        M[pl.ds(slot, 1)] = M_l[None]
+        I[pl.ds(slot, 1)] = I_l[None]
+        D[pl.ds(slot, 1)] = D_l[None]
+        smalls = jnp.stack([jnp.full((W, 1), INF), B_l, N_l, J_l, C_l,
+                            E_l, R_l])
+        SML[:, pl.ds(slot, 1)] = smalls[:, None]
+        return 0
+
     def step(i, _):
         l = nlb * kappa + i + 1  # 1-based DP position
 
-        if PREFETCH:
+        if prefetch:
             @pl.when(i == 0)
             def _warm():
                 gather(0, 0)
@@ -249,7 +323,7 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
         SML[:, pl.ds(slot, 1)] = smalls[:, None]
         return 0
 
-    jax.lax.fori_loop(0, kappa, step, 0)
+    jax.lax.fori_loop(0, kappa, step_tregs if mode == "tregs" else step, 0)
 
     # Written every l-block; the final block's values land last (the
     # output block index only changes with p/wg, so this is cheap).
@@ -258,9 +332,9 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kappa", "interpret"))
+                   static_argnames=("kappa", "interpret", "mode", "prefetch"))
 def viterbi_scores_grid(tables, tvecs, xts, lengths, codes, *, kappa=KAPPA,
-                        interpret=False):
+                        interpret=False, mode=None, prefetch=None):
     """Run the kernel over a (P profiles, WG window-groups, NLB) grid.
 
     Args:
@@ -275,7 +349,7 @@ def viterbi_scores_grid(tables, tvecs, xts, lengths, codes, *, kappa=KAPPA,
     P, _, Kp = tables.shape
     WG, NLB = codes.shape[0], codes.shape[1]
     kernel = functools.partial(_kernel, kappa=kappa, num_lblocks=NLB, Kp=Kp,
-                               nlb_dim=2)
+                               nlb_dim=2, mode=mode, prefetch=prefetch)
     grid = (P, WG, NLB)
     out_shape = [
         jax.ShapeDtypeStruct((P, WG, W, 1), jnp.float32),
@@ -317,9 +391,11 @@ def viterbi_scores_grid(tables, tvecs, xts, lengths, codes, *, kappa=KAPPA,
     return alt[..., 0], nul[..., 0]
 
 
-@functools.partial(jax.jit, static_argnames=("kappa", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("kappa", "interpret", "mode", "prefetch"))
 def viterbi_scores_pairs(pidx, tables, tvecs, xts, lengths, codes, *,
-                         kappa=KAPPA, interpret=False):
+                         kappa=KAPPA, interpret=False, mode=None,
+                         prefetch=None):
     """Ragged batching: score NPAIR (profile, window-group) pairs.
 
     This is the production scheduler shape — each pair binds a window-group
@@ -343,7 +419,8 @@ def viterbi_scores_pairs(pidx, tables, tvecs, xts, lengths, codes, *,
 
     def kernel(pidx_ref, *rest):
         # pidx is consumed by the index maps only; drop the leading ref.
-        _kernel(*rest, kappa=kappa, num_lblocks=NLB, Kp=Kp, nlb_dim=1)
+        _kernel(*rest, kappa=kappa, num_lblocks=NLB, Kp=Kp, nlb_dim=1,
+                mode=mode, prefetch=prefetch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NPAIR, NLB),
