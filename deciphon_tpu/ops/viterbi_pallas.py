@@ -54,8 +54,13 @@ KAPPA = 32  # positions per l-block (codes SMEM block)
 PREFETCH = False  # double-buffer emission gathers (measured slower on v5e)
 # Gather strategy: "slot" = slot-major MA scratch round-trip (dynamic-slot
 # stores, one static ring read); "tregs" = t-ordered register gathers with
-# per-duration dynamic ring slices (no scratch round-trip).
-GATHER_MODE = "slot"
+# per-duration dynamic ring slices (no scratch round-trip); "static" =
+# host-reordered slot-major codes so every MA store index is static (only
+# the table row load stays dynamic) — requires slot-major-packed codes
+# (pack_windows/bucket_arrays do this when the mode is "static").
+# Measured on TPU v5e (P=8 K=400 B=64 L=4096): slot 5.8 GCUPS, static
+# 15.1 GCUPS — the dynamic-index MA stores were the kernel bottleneck.
+GATHER_MODE = "static"
 
 # tvec row indices: transition vectors pre-laid-out for the kernel.
 TV_BM, TV_MMS, TV_MI, TV_MD, TV_IMS, TV_II, TV_DMS, TV_DDCUM = range(8)
@@ -181,6 +186,16 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
                 MA[pl.ds(buf, 1), pl.ds(slot_t, 1), pl.ds(w, 1), :] = (
                     row.reshape(1, 1, 1, Kp))
 
+    def gather_static(i):
+        """Slot-major host-reordered codes (pack_windows(slot_major=True)):
+        codes[..., i, s, w] already names the row that must land in ring
+        slot s, so every MA store index is a Python literal — the only
+        dynamic operand left is the table row offset."""
+        for s in range(5):
+            for w in range(W):
+                c = codes_ref[0, 0, i, s, w]
+                MA[0, s, w:w + 1, :] = table_ref[0, pl.ds(c, 1), :]
+
     def step_tregs(i, _):
         """Variant step: t-ordered register gathers, per-duration dynamic
         ring slices — no MA scratch round-trip (GATHER_MODE="tregs")."""
@@ -252,7 +267,10 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     def step(i, _):
         l = nlb * kappa + i + 1  # 1-based DP position
 
-        if prefetch:
+        if mode == "static":
+            gather_static(i)
+            ma = MA[0]  # (5, W, Kp)
+        elif prefetch:
             @pl.when(i == 0)
             def _warm():
                 gather(0, 0)
@@ -471,8 +489,22 @@ def viterbi_scores_pairs(pidx, tables, tvecs, xts, lengths, codes, *,
 # ---------------------------------------------------------------------------
 
 
+def slot_major_codes(c: np.ndarray) -> np.ndarray:
+    """Permute (B, Lk, 5) duration-major codes into slot-major order.
+
+    out[b, lp, s] = c[b, lp, t-1] where t is the duration whose source ring
+    slot at DP position l = lp+1 is s: (l - t) mod 5 == s, i.e.
+    t = ((lp - s) mod 5) + 1.  Lets the kernel's gather store with static
+    slot indices (GATHER_MODE "static")."""
+    _, Lk, _ = c.shape
+    lp = np.arange(Lk)[:, None]
+    s = np.arange(5)[None, :]
+    tmap = (lp - s) % 5  # t - 1
+    return np.take_along_axis(c, tmap[None].astype(np.int64), axis=2)
+
+
 def pack_windows(xt: np.ndarray, codes: np.ndarray, lengths: np.ndarray,
-                 kappa: int = KAPPA):
+                 kappa: int = KAPPA, slot_major: bool | None = None):
     """Relayout a window batch for the kernel.
 
     xt (B, 13) f32; codes (B, Lpad, 5) int32; lengths (B,).
@@ -493,6 +525,10 @@ def pack_windows(xt: np.ndarray, codes: np.ndarray, lengths: np.ndarray,
 
     c = np.zeros((WG * W, Lk, 5), np.int32)
     c[:B, :Lpad] = codes
+    if slot_major is None:
+        slot_major = GATHER_MODE == "static"
+    if slot_major:
+        c = slot_major_codes(c)
     # (WG*W, Lk, 5) -> (WG, NLB, kappa, 5, W)
     c = c.reshape(WG, W, NLB, kappa, 5).transpose(0, 2, 3, 4, 1)
     return xts, lens, np.ascontiguousarray(c)

@@ -107,8 +107,13 @@ def bucket_arrays(bucket: _Bucket, kappa: int):
             xts[gi, wi, :13] = it.xt
             lens[gi, wi, 0] = L
             codes[gi, wi, :L] = it.codes
+    from ..ops import viterbi_pallas as vp
+
+    c = codes
+    if vp.GATHER_MODE == "static":  # kernel expects slot-major code order
+        c = vp.slot_major_codes(c.reshape(N * W, Lk, 5)).reshape(N, W, Lk, 5)
     # (N, W, Lk, 5) -> (N, NLB, kappa, 5, W)
-    ck = codes.reshape(N, W, NLB, kappa, 5).transpose(0, 2, 3, 4, 1)
+    ck = c.reshape(N, W, NLB, kappa, 5).transpose(0, 2, 3, 4, 1)
     return pidx, xts, lens, np.ascontiguousarray(ck), codes
 
 
@@ -158,6 +163,12 @@ class BucketedPairScorer:
     (c-core/protein_reader.c:29-53).
     """
 
+    # Largest lane width whose (1364, Kp) f32 emission table plus the
+    # kernel's ring/gather scratch still fits ~16 MB of VMEM.  Profiles
+    # beyond it (reference limit: K <= 16384, c-core/model.h:12) route to
+    # the lax.scan engine, which keeps tables in HBM.
+    MAX_PALLAS_KP = 2048
+
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
                  kappa: int | None = None,
                  scorer_factory=None):
@@ -177,7 +188,11 @@ class BucketedPairScorer:
         for b, idxs in sorted(buckets.items()):
             for local, gi in enumerate(idxs):
                 self._map[gi] = (len(self.scorers), local)
-            self.scorers.append(factory([costs_list[i] for i in idxs]))
+            costs = [costs_list[i] for i in idxs]
+            if b > self.MAX_PALLAS_KP and scorer_factory is None:
+                self.scorers.append(JaxPairScorer(costs))
+            else:
+                self.scorers.append(factory(costs))
 
     def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
         by_scorer: dict[int, list[PairItem]] = {}

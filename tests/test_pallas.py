@@ -62,7 +62,8 @@ def test_pack_windows_layout():
     xt = np.arange(3 * 13, dtype=np.float32).reshape(3, 13)
     codes = np.arange(3 * 10 * 5, dtype=np.int32).reshape(3, 10, 5) % 1364
     lengths = np.array([10, 7, 9], np.int32)
-    xts, lens, ck = pack_windows(xt, codes, lengths, kappa=8)
+    xts, lens, ck = pack_windows(xt, codes, lengths, kappa=8,
+                                 slot_major=False)
     assert xts.shape == (1, 8, 16)
     assert lens.shape == (1, 8, 1)
     assert ck.shape == (1, 2, 8, 5, 8)
@@ -98,5 +99,56 @@ def test_bucketed_scorer_mixed_sizes():
     want = JaxPairScorer(costs).score(items)
     for it in items:
         assert it.p_idx in (0, 1, 2)  # restored after scoring
+        np.testing.assert_allclose(got[id(it)], want[id(it)],
+                                   rtol=2e-6, atol=2e-5)
+
+
+def test_static_gather_mode_bit_identical():
+    """Host slot-major code reorder + static-store gather == slot mode."""
+    from deciphon_tpu.ops import viterbi_pallas as vp
+
+    costs, xt, codes, lengths = make_workload(
+        [(11, 5), (12, 17)], B=5, L=41, seed=2)
+    eng = PallasScanEngine(costs, interpret=True)
+    xts, lens, ck = pack_windows(xt, codes, lengths, slot_major=False)
+    a1, n1 = vp.viterbi_scores_grid(
+        eng.tables, eng.tvecs, jnp.asarray(xts), jnp.asarray(lens),
+        jnp.asarray(ck), interpret=True, mode="slot")
+    xts2, lens2, ck2 = pack_windows(xt, codes, lengths, slot_major=True)
+    a2, n2 = vp.viterbi_scores_grid(
+        eng.tables, eng.tvecs, jnp.asarray(xts2), jnp.asarray(lens2),
+        jnp.asarray(ck2), interpret=True, mode="static")
+    assert np.array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.array_equal(np.asarray(n1), np.asarray(n2))
+
+
+def test_bucketed_scorer_routes_large_profiles_to_jax():
+    """K beyond the VMEM table limit must score via the lax.scan engine."""
+    from deciphon_tpu.scan.scheduler import (BucketedPairScorer, JaxPairScorer,
+                                             PairItem)
+    from deciphon_tpu.scan.window import Window
+
+    costs = [build_costs(sample_profile(1, 6)),
+             build_costs(sample_profile(2, 9))]
+    rng = np.random.default_rng(6)
+    items = []
+    for p_idx in range(2):
+        n = 33
+        seq = rng.integers(0, 4, size=n).astype(np.int8)
+        items.append(PairItem(
+            p_idx=p_idx, s_idx=0, win=Window(idx=0, start=0, stop=n),
+            codes=frag_codes_ending(seq), multi_hits=True,
+            hmmer3_compat=False))
+
+    saved = BucketedPairScorer.MAX_PALLAS_KP
+    try:
+        BucketedPairScorer.MAX_PALLAS_KP = 64  # force the large-K path
+        bucketed = BucketedPairScorer(costs, interpret=True)
+        assert all(isinstance(s, JaxPairScorer) for s in bucketed.scorers)
+        got = bucketed.score(items)
+    finally:
+        BucketedPairScorer.MAX_PALLAS_KP = saved
+    want = JaxPairScorer(costs).score(items)
+    for it in items:
         np.testing.assert_allclose(got[id(it)], want[id(it)],
                                    rtol=2e-6, atol=2e-5)
