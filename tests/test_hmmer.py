@@ -156,7 +156,7 @@ def test_fake_daemon_roundtrip():
     canned = H3Result.single_hit(
         name="prof", acc="PF000", score=42.0, lnP=-30.0, Z=3.0,
         qlen=10, seqlen=20,
-        domains=[H3Domain(env_start=1, env_stop=20, score=41.0)])
+        domains=[H3Domain(ienv=1, jenv=20, bitscore=41.0)])
 
     def responder(hmmidx, seq):
         assert hmmidx == 2
