@@ -29,6 +29,20 @@ class Prod:
     h3result_blob: bytes | None = None
 
     @property
+    def h3result(self):
+        """Parsed HMMER result (hmmer/h3result.py), or None.
+
+        Parity: snap/deciphon_snap/prod.py's H3Result attachment used by
+        the hmmer views and the side-by-side alignment renderer."""
+        if self.h3result_blob is None:
+            return None
+        from ..hmmer.h3result import H3Result
+        try:
+            return H3Result.from_blob(self.h3result_blob)
+        except (ValueError, KeyError):
+            return None
+
+    @property
     def query_offset(self) -> int:
         """Sequence-space offset of the match list's first step."""
         return self.window_interval.start + self.hit_interval.start

@@ -106,3 +106,70 @@ def test_snap_str(snap_path):
     snap = read_snap(snap_path)
     s = str(snap)
     assert s.startswith("shape: (")
+
+
+# ---------------------------------------------------------------------------
+# HMMER-side views on the reference snap fixture
+# (parity: snap/tests/test_align.py invariants + view.py side-by-side)
+# ---------------------------------------------------------------------------
+
+REFERENCE_SNAP = "/root/reference/control/tests/files/snap.dcs"
+
+
+@pytest.fixture(scope="module")
+def reference_products():
+    from deciphon_tpu.snap.snap_file import read_snap
+    return list(read_snap(REFERENCE_SNAP).products)
+
+
+def test_h3result_attached(reference_products):
+    for p in reference_products:
+        h3r = p.h3result
+        assert h3r is not None
+        assert h3r.nhits == 1
+        assert h3r.hits[0].acc == p.profile
+
+
+def test_same_amino(reference_products):
+    """Deciphon's decoded aminos == the HMMER alignment query, exactly
+    (reference snap/tests/test_align.py:12-20)."""
+    for p in reference_products:
+        ad = p.h3result.hits[0].domains[0].ad
+        hmmer_query = ad.aseq.replace("-", "")
+        assert hmmer_query == p.amino
+        assert ad.sqto - ad.sqfrom + 1 == len(p.amino)
+
+
+def test_equal_hits(reference_products):
+    """Hit count equals HMMER domain count; each domain's ali interval
+    covers the same aminos (reference test_align.py:23-33)."""
+    for p in reference_products:
+        hits = p.hits
+        doms = p.h3result.hits[0].domains
+        assert len(hits) == len(doms)
+        for hit, d in zip(hits, doms):
+            amino_lo, amino_hi = d.iali - 1, d.jali  # 0-based half-open
+            assert p.amino[amino_lo:amino_hi] == \
+                d.ad.aseq.replace("-", "")
+
+
+def test_side_by_side_view(reference_products):
+    from deciphon_tpu.snap.view import view_alignment
+    txt = view_alignment(reference_products[0])
+    assert "PF00742.20" in txt
+    assert "Homoserine_dh-consensus" in txt
+    assert "CS" in txt and "PP" in txt
+    # profile consensus and deciphon aminos appear aligned
+    assert "Piistlkeslt" in txt
+    assert "PIISTLKESLT" in txt
+
+
+def test_domtbl_views(reference_products):
+    p = reference_products[1]
+    h3r = p.h3result
+    dom_text = h3r.domains_table(query_name="000000001")
+    tgt_text = h3r.targets_table(query_name="000000001")
+    dom_rows = [l for l in dom_text.splitlines() if not l.startswith("#")]
+    assert len(dom_rows) == len(h3r.hits[0].domains)
+    assert p.profile in dom_text
+    assert p.profile in tgt_text
