@@ -8,11 +8,11 @@ carries GA thresholds, else `-Z num_proteins -E 1e-10`.  Retry policy is
 the reference's: 30 attempts, 30 s socket timeout (hmmer.c:9-10).
 
 The binary reply is parsed by a pluggable `parse_response` callable.  The
-default parser understands this package's fake daemon (tests) which speaks
-the same framing with a msgpack H3Result payload; parsing the native
-HMMER3 serialization of a real hmmpgmd is pending live-daemon validation
-(no HMMER binaries exist in this environment) and is isolated behind the
-same hook.
+default parser decodes HMMER's native daemon serialization (hmmer/wire.py
+— stats + serialized hits/domains/alidisplays); the in-repo fake daemon
+emits the same bytes, so tests exercise the real code path.  For defense
+in depth against protocol-revision skew, a reply that fails the binary
+parse is retried as a bare msgpack h3result payload before erroring.
 """
 
 from __future__ import annotations
@@ -21,6 +21,7 @@ import socket
 import struct
 
 from .h3result import H3Result
+from .wire import WireError, parse_reply
 
 __all__ = ["HMMERClient", "HMMERError", "recv_exact", "send_request",
            "read_response"]
@@ -62,7 +63,14 @@ def read_response(sock: socket.socket) -> tuple[int, bytes]:
 def default_parse_response(status: int, msg: bytes) -> H3Result:
     if status != 0:
         raise HMMERError(f"hmmpgmd error {status}: {msg[:200]!r}")
-    return H3Result.from_blob(msg)
+    try:
+        return parse_reply(msg)
+    except WireError:
+        # protocol-revision fallback: accept a bare msgpack h3result
+        try:
+            return H3Result.from_blob(msg)
+        except ValueError:
+            raise HMMERError("unparseable hmmpgmd reply") from None
 
 
 class HMMERClient:

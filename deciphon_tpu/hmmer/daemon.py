@@ -21,6 +21,7 @@ import time
 
 from .client import STATUS_FMT, recv_exact
 from .h3result import H3Result
+from .wire import serialize_reply
 
 __all__ = ["launch_hmmpgmd", "FakeHMMERDaemon"]
 
@@ -121,7 +122,7 @@ class FakeHMMERDaemon:
                 hmmidx = int(tok.split("..")[0])
         try:
             result = self.responder(hmmidx, seq)
-            msg = result.to_blob()
+            msg = serialize_reply(result)  # real hmmpgmd wire format
             conn.sendall(struct.pack(STATUS_FMT, 0, len(msg)) + msg)
         except Exception as exc:  # report as daemon error status
             msg = str(exc).encode()

@@ -263,15 +263,19 @@ class Scanner:
         amino_seq = "".join(aminos)
         if self.confirmer is not None:
             if len(amino_seq) + 1 > HMMER_MAX_AMINO:
-                return
-            logevalue, blob = self.confirmer(p_idx, amino_seq)
-            if logevalue > 0:
-                logevalue = 0.0
-            if logevalue == 0:
-                return
-            line.logevalue = logevalue
-            if blob is not None:
-                writer.add_h3r(line, blob)
+                # HMMER3 can't confirm >100k aminos: skip ONLY the
+                # confirmation, still write the match line
+                # (thread.c:182-207 — add_match is outside the guard).
+                pass
+            else:
+                logevalue, blob = self.confirmer(p_idx, amino_seq)
+                if logevalue > 0:
+                    logevalue = 0.0
+                if logevalue == 0:
+                    return
+                line.logevalue = logevalue
+                if blob is not None:
+                    writer.add_h3r(line, blob)
         else:
             if not amino_seq:
                 return

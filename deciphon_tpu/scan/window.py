@@ -52,7 +52,9 @@ class WindowCursor:
             self.seq_size,
         )
         self.idx += 1
-        self.last_hit_pos = -1
+        # NOTE: last_hit_pos deliberately persists across windows until the
+        # caller overwrites it — window.c:13-37 never resets it, and the
+        # golden-checksum contract depends on that carry-over.
         return Window(self.idx, self.start, self.stop)
 
     def set_last_hit_position(self, pos: int) -> None:

@@ -117,3 +117,52 @@ def test_many_short_sequences(profiles_eps10, tmp_path):
     planted = [r for r in rows if int(r[0]) == 41]
     best = max(float(r[9]) for r in planted)
     assert best > 100.0
+
+
+def test_window_last_hit_pos_persists_across_windows():
+    """window.c never resets last_hit_pos: it persists until the caller
+    overwrites it, so a hit-less window after a hit-window keeps using
+    the stale hit position (the golden-checksum contract)."""
+    K = 100
+    cur = WindowCursor(core_size=K, seq_size=40000)
+    w0 = cur.next()
+    cur.set_last_hit_position(1234)
+    w1 = cur.next()
+    # stale value survives the hit-less w1: w2 uses it again
+    w2 = cur.next()
+    assert w1.start == max(w0.start + 1234 + 1, w0.stop + 1 - 4 * K)
+    assert w2.start == max(w1.start + 1234 + 1, w1.stop + 1 - 4 * K)
+    # overwriting takes effect on the next window only
+    cur.set_last_hit_position(7)
+    w3 = cur.next()
+    assert w3.start == max(w2.start + 7 + 1, w2.stop + 1 - 4 * K)
+
+
+def test_amino_overflow_writes_match_line_without_confirmation(
+        profiles_eps10, tmp_path, monkeypatch):
+    """Amino sequences too long for HMMER3 skip ONLY the confirmation;
+    the match line is still written (thread.c:182-207: add_match sits
+    outside the 100k guard)."""
+    import deciphon_tpu.scan.pipeline as pl
+    with open(os.path.join(HERE, "data_consensus.json")) as fp:
+        consensus = json.load(fp)[0]["seq"]
+    seq = Sequence.make(1, "c", consensus)
+
+    calls = []
+
+    def confirmer(p_idx, amino_seq):
+        calls.append((p_idx, len(amino_seq)))
+        return -50.0, None
+
+    # Force every amino over the "HMMER limit".
+    monkeypatch.setattr(pl, "HMMER_MAX_AMINO", 10)
+    scanner = Scanner(profiles_eps10, ScanConfig(engine="jax"),
+                      confirmer=confirmer)
+    out = scanner.run([seq], str(tmp_path / "prod"))
+    with open(out) as fp:
+        fp.readline()
+        rows = [line.split("\t") for line in fp]
+    assert rows, "match lines must be written despite skipped confirmation"
+    assert calls == [], "confirmer must not be called above the limit"
+    # evalue column is 1 (logevalue 0) since no confirmation happened
+    assert {r[10] for r in rows} == {"1"}
