@@ -51,16 +51,22 @@ NEG_BIG = np.float32(1e30)  # DD saturation (matches ops/viterbi_jax.py)
 
 W = 8  # windows per group (sublane dim)
 KAPPA = 32  # positions per l-block (codes SMEM block)
+KAPPA_PENDING = 40  # pending mode: must be a multiple of 5 (phase unroll)
 PREFETCH = False  # double-buffer emission gathers (measured slower on v5e)
 # Gather strategy: "slot" = slot-major MA scratch round-trip (dynamic-slot
 # stores, one static ring read); "tregs" = t-ordered register gathers with
 # per-duration dynamic ring slices (no scratch round-trip); "static" =
 # host-reordered slot-major codes so every MA store index is static (only
 # the table row load stays dynamic) — requires slot-major-packed codes
-# (pack_windows/bucket_arrays do this when the mode is "static").
+# (pack_windows/bucket_arrays do this when the mode is "static");
+# "pending" = the push/pending-accumulator formulation with a 5-phase
+# unrolled loop (see _kernel_pending) — requires START-indexed codes.
 # Measured on TPU v5e (P=8 K=400 B=64 L=4096): slot 5.8 GCUPS, static
-# 15.1 GCUPS — the dynamic-index MA stores were the kernel bottleneck.
-GATHER_MODE = "static"
+# 15.1 GCUPS (13.8 with device-resident inputs and honest sync), and an
+# ablation with the row gather replaced by a static row read also gives
+# 13.9 — in static mode the kernel is bound by per-step vector work and
+# loop overhead, not the gathers, which is what "pending" attacks.
+GATHER_MODE = "pending"
 
 # tvec row indices: transition vectors pre-laid-out for the kernel.
 TV_BM, TV_MMS, TV_MI, TV_MD, TV_IMS, TV_II, TV_DMS, TV_DDCUM = range(8)
@@ -138,7 +144,8 @@ def _lane_cummin(x, lane_idx, Kp):
 def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
             alt_ref, null_ref,
             MA, M, I, D, SML, Tfin, Rfin, *, kappa, num_lblocks, Kp,
-            nlb_dim, mode=None, prefetch=None):
+            nlb_dim, mode=None, prefetch=None, w=W):
+    W = w  # window-group width (shadows the module default)
     mode = GATHER_MODE if mode is None else mode
     prefetch = PREFETCH if prefetch is None else prefetch
     """Grid: (..., NLB) — nlb_dim selects the l-block grid axis.  SML packs
@@ -349,25 +356,217 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     null_ref[0, 0] = Rfin[...]
 
 
+def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
+                    alt_ref, null_ref,
+                    MA, PM, PI, PSM, ST, SS, Tfin, Rfin, *,
+                    kappa, Kp, nlb_dim, w=W):
+    """Push/pending-accumulator formulation of the frame Viterbi.
+
+    The pull form (_kernel) reads 5 ring slots per step and redoes the
+    shift/min work on a (5, W, Kp) block each position.  This form
+    computes each state's outgoing contribution ONCE —
+
+      contrib_l = min(shift1(min(M_l+MMs, I_l+IMs, D_l+DMs)), B_l+BM)
+
+    — and pushes it into 5 pending accumulators (one per future position
+    l+1..l+5, combined with that position's emission row), so the
+    per-step work drops from ~160 (W, Kp)-equivalent vector ops to ~60.
+    The l-loop is unrolled into 5 phases (kappa % 5 == 0), which makes
+    every ring-slot index a compile-time constant: slot(l) = l mod 5 with
+    l = nlb*kappa + 5*i + r + 1 and kappa ≡ 0 (mod 5) depends only on the
+    phase r.  The duration-t pending of the farthest position (t = 5) is
+    a fresh assignment — the slot it lands in was consumed this same
+    step — so pendings never need clearing.
+
+    Requires START-indexed codes: codes[..., i, t-1, w] is the fragment
+    of length t starting at DP position i+1 (start_codes()), because
+    contributions flow from state l-1 through fragments starting at l.
+
+    Scratch: MA (5, W, Kp) staging for the 5 gathered rows; PM/PI
+    (5, W, Kp) pending mins for M and I; PSM (4, 5, W, 1) pending mins
+    for N, J, C, R; ST (3, W, Kp) previous-step M/I/D; SS (7, W, 1)
+    previous-step specials [S B N J C E R]."""
+    W = w  # window-group width (shadows the module default)
+    nlb = pl.program_id(nlb_dim)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (W, Kp), 1)
+    xt = xt_ref[0]  # (W, 16)
+
+    def xtc(j):
+        return xt[:, j:j + 1]
+
+    tv_mms = tvec_ref[0, TV_MMS]
+    tv_ims = tvec_ref[0, TV_IMS]
+    tv_dms = tvec_ref[0, TV_DMS]
+    tv_bm = tvec_ref[0, TV_BM]
+    tv_ii = tvec_ref[0, TV_II]
+    tv_mi = tvec_ref[0, TV_MI]
+    tv_md = tvec_ref[0, TV_MD]
+    tv_ddcum = tvec_ref[0, TV_DDCUM]
+
+    @pl.when(nlb == 0)
+    def _init():
+        PM[...] = jnp.full((5, W, Kp), INF)
+        PI[...] = jnp.full((5, W, Kp), INF)
+        PSM[...] = jnp.full((4, 5, W, 1), INF)
+        ST[...] = jnp.full((3, W, Kp), INF)
+        inf_w1 = jnp.full((W, 1), INF)
+        SS[...] = jnp.stack([
+            jnp.zeros((W, 1)),  # S_0 = 0
+            xtc(XT_SB),  # B_0
+            inf_w1, inf_w1, inf_w1, inf_w1,  # N J C E
+            -xtc(XT_RR),  # R_0 (so R_1 = nil_1)
+        ])
+        Tfin[...] = jnp.full((W, 1), INF)
+        Rfin[...] = jnp.full((W, 1), INF)
+
+    def phase(i, r, sm, si, sd, ss):
+        """One DP position l = nlb*kappa + 5*i + r + 1 (slot arithmetic
+        static in r).  (sm, si, sd, ss) is the previous position's state;
+        returns this position's."""
+        l = nlb * kappa + 5 * i + r + 1
+        i_blk = 5 * i + r
+        slot = (r + 1) % 5  # l % 5, static
+
+        # -- gather the 5 emission rows for fragments STARTING at l ----
+        for t in range(1, 6):
+            for w in range(W):
+                c = codes_ref[0, 0, i_blk, t - 1, w]
+                MA[t - 1, w:w + 1, :] = table_ref[0, pl.ds(c, 1), :]
+
+        # -- push contributions of state j = l-1 ------------------------
+        inner = jnp.minimum(jnp.minimum(sm + tv_mms, si + tv_ims),
+                            sd + tv_dms)
+        contrib = jnp.minimum(_lane_shift1(inner), ss[1] + tv_bm)
+        icand = jnp.minimum(si + tv_ii, sm + tv_mi)
+        cN = jnp.minimum(ss[0] + xtc(XT_SN), ss[2] + xtc(XT_NN))
+        cJ = jnp.minimum(ss[5] + xtc(XT_EJ), ss[3] + xtc(XT_JJ))
+        cC = jnp.minimum(ss[5] + xtc(XT_EC), ss[4] + xtc(XT_CC))
+        cR = ss[6]
+        for t in range(1, 6):
+            st = (r + t) % 5  # (l-1+t) % 5, static
+            row = MA[t - 1]  # (W, Kp)
+            nil = row[:, Kp - 2:Kp - 1]
+            bg = row[:, Kp - 1:Kp]
+            if t == 5:  # earliest contributor: fresh assignment
+                PM[st] = contrib + row
+                PI[st] = icand + bg
+                PSM[0, st] = cN + nil
+                PSM[1, st] = cJ + nil
+                PSM[2, st] = cC + nil
+                PSM[3, st] = cR + nil
+            else:
+                PM[st] = jnp.minimum(PM[st], contrib + row)
+                PI[st] = jnp.minimum(PI[st], icand + bg)
+                PSM[0, st] = jnp.minimum(PSM[0, st], cN + nil)
+                PSM[1, st] = jnp.minimum(PSM[1, st], cJ + nil)
+                PSM[2, st] = jnp.minimum(PSM[2, st], cC + nil)
+                PSM[3, st] = jnp.minimum(PSM[3, st], cR + nil)
+
+        # -- consume position l ------------------------------------------
+        M_l = PM[slot]
+        I_l = PI[slot]
+        A = _lane_shift1(M_l) + tv_md
+        D_l = _lane_cummin(A - tv_ddcum, lane2, Kp) + tv_ddcum
+        E_l = jnp.minimum(jnp.min(M_l, axis=1, keepdims=True),
+                          jnp.min(D_l, axis=1, keepdims=True))
+        N_l = PSM[0, slot]
+        J_l = PSM[1, slot]
+        C_l = PSM[2, slot]
+        R_l = PSM[3, slot] + xtc(XT_RR)
+        B_l = jnp.minimum(jnp.minimum(N_l + xtc(XT_NB), E_l + xtc(XT_EB)),
+                          J_l + xtc(XT_JB))
+        T_l = jnp.minimum(E_l + xtc(XT_ET), C_l + xtc(XT_CT))
+
+        at_end = len_ref[0] == l
+        Tfin[...] = jnp.where(at_end, T_l, Tfin[...])
+        Rfin[...] = jnp.where(at_end, R_l, Rfin[...])
+
+        ss_l = jnp.stack([jnp.full((W, 1), INF), B_l, N_l, J_l, C_l,
+                          E_l, R_l])
+        return M_l, I_l, D_l, ss_l
+
+    def macro_step(i, _):
+        sm, si, sd = ST[0], ST[1], ST[2]
+        ss = SS[...]
+        for r in range(5):
+            sm, si, sd, ss = phase(i, r, sm, si, sd, ss)
+        ST[0] = sm
+        ST[1] = si
+        ST[2] = sd
+        SS[...] = ss
+        return 0
+
+    jax.lax.fori_loop(0, kappa // 5, macro_step, 0)
+
+    alt_ref[0, 0] = Tfin[...]
+    null_ref[0, 0] = Rfin[...]
+
+
+def start_codes(c_end: np.ndarray) -> np.ndarray:
+    """(..., L, 5) fragment codes ending at each position -> codes
+    STARTING at each position: out[..., l, t-1] = c_end[..., l+t-1, t-1]
+    (garbage past the end; only positions beyond the window read it)."""
+    L = c_end.shape[-2]
+    out = np.zeros_like(c_end)
+    for t in range(1, 6):
+        out[..., : L - (t - 1), t - 1] = c_end[..., t - 1:, t - 1]
+    return out
+
+
+def _make_kernel(mode, prefetch, kappa, NLB, Kp, nlb_dim, w=W):
+    """Kernel + scratch shapes for the requested gather mode."""
+    W = w
+    if mode == "pending":
+        if kappa % 5:
+            raise ValueError("pending mode requires kappa % 5 == 0")
+        kernel = functools.partial(_kernel_pending, kappa=kappa, Kp=Kp,
+                                   nlb_dim=nlb_dim, w=w)
+        scratch = [
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # MA gather staging
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # PM pending M
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # PI pending I
+            pltpu.VMEM((4, 5, W, 1), jnp.float32),  # PSM pending N J C R
+            pltpu.VMEM((3, W, Kp), jnp.float32),  # ST prev M/I/D
+            pltpu.VMEM((7, W, 1), jnp.float32),  # SS prev specials
+            pltpu.VMEM((W, 1), jnp.float32),  # T final
+            pltpu.VMEM((W, 1), jnp.float32),  # R final
+        ]
+    else:
+        kernel = functools.partial(_kernel, kappa=kappa, num_lblocks=NLB,
+                                   Kp=Kp, nlb_dim=nlb_dim, mode=mode,
+                                   prefetch=prefetch, w=w)
+        scratch = [
+            pltpu.VMEM((2, 5, W, Kp), jnp.float32),  # MA double buffer
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # M ring
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # I ring
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # D ring
+            pltpu.VMEM((7, 5, W, 1), jnp.float32),  # small rings S B N J C E R
+            pltpu.VMEM((W, 1), jnp.float32),  # T final
+            pltpu.VMEM((W, 1), jnp.float32),  # R final
+        ]
+    return kernel, scratch
+
+
+def _resolve(kappa, mode, prefetch):
+    """Pin the module-level defaults into concrete jit cache keys, so
+    mutating GATHER_MODE/PREFETCH at runtime (kernel ablations) can never
+    pair stale compiled kernels with fresh host packing."""
+    mode = GATHER_MODE if mode is None else mode
+    prefetch = PREFETCH if prefetch is None else prefetch
+    if kappa is None:
+        kappa = KAPPA_PENDING if mode == "pending" else KAPPA
+    return kappa, mode, prefetch
+
+
 @functools.partial(jax.jit,
                    static_argnames=("kappa", "interpret", "mode", "prefetch"))
-def viterbi_scores_grid(tables, tvecs, xts, lengths, codes, *, kappa=KAPPA,
-                        interpret=False, mode=None, prefetch=None):
-    """Run the kernel over a (P profiles, WG window-groups, NLB) grid.
-
-    Args:
-      tables: (P, 1364, Kp) f32 extended emission tables.
-      tvecs: (P, 8, Kp) f32 transition vectors.
-      xts: (WG, W, 16) f32 per-window special costs (13 used, padded).
-      lengths: (WG, W, 1) int32 window lengths (0 => unused pad slot).
-      codes: (WG, NLB, kappa, 5, W) int32 fragment codes.
-
-    Returns (alt, null): (P, WG, W) f32 min-plus costs (+inf for pads).
-    """
+def _scores_grid_jit(tables, tvecs, xts, lengths, codes, *, kappa,
+                     interpret, mode, prefetch):
     P, _, Kp = tables.shape
     WG, NLB = codes.shape[0], codes.shape[1]
-    kernel = functools.partial(_kernel, kappa=kappa, num_lblocks=NLB, Kp=Kp,
-                               nlb_dim=2, mode=mode, prefetch=prefetch)
+    W = codes.shape[4]
+    kernel, scratch = _make_kernel(mode, prefetch, kappa, NLB, Kp, nlb_dim=2,
+                                   w=W)
     grid = (P, WG, NLB)
     out_shape = [
         jax.ShapeDtypeStruct((P, WG, W, 1), jnp.float32),
@@ -395,50 +594,44 @@ def viterbi_scores_grid(tables, tvecs, xts, lengths, codes, *, kappa=KAPPA,
             pl.BlockSpec((1, 1, W, 1), lambda p, wg, nlb: (p, wg, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 5, W, Kp), jnp.float32),  # MA double buffer
-            pltpu.VMEM((5, W, Kp), jnp.float32),  # M ring
-            pltpu.VMEM((5, W, Kp), jnp.float32),  # I ring
-            pltpu.VMEM((5, W, Kp), jnp.float32),  # D ring
-            pltpu.VMEM((7, 5, W, 1), jnp.float32),  # small rings S B N J C E R
-            pltpu.VMEM((W, 1), jnp.float32),  # T final
-            pltpu.VMEM((W, 1), jnp.float32),  # R final
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(codes, tables, tvecs, xts, lengths)
     return alt[..., 0], nul[..., 0]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("kappa", "interpret", "mode", "prefetch"))
-def viterbi_scores_pairs(pidx, tables, tvecs, xts, lengths, codes, *,
-                         kappa=KAPPA, interpret=False, mode=None,
-                         prefetch=None):
-    """Ragged batching: score NPAIR (profile, window-group) pairs.
-
-    This is the production scheduler shape — each pair binds a window-group
-    to ITS profile (window geometry depends on the profile's core size, so
-    different profiles scan different windows; the dense grid variant would
-    score every group against every profile).  The profile index array is a
-    scalar-prefetch argument, so the pipeline DMAs each pair's emission
-    table by data-dependent index (the TPU analog of the reference's
-    per-thread protein partition walk, c-core/protein_reader.c:77-101).
+def viterbi_scores_grid(tables, tvecs, xts, lengths, codes, *, kappa=None,
+                        interpret=False, mode=None, prefetch=None):
+    """Run the kernel over a (P profiles, WG window-groups, NLB) grid.
 
     Args:
-      pidx: (NPAIR,) int32 profile index per pair.
-      tables/tvecs: stacked per-profile tables (P, 1364, Kp)/(P, 8, Kp).
-      xts: (NPAIR, W, 16); lengths: (NPAIR, W, 1); codes: (NPAIR, NLB,
-        kappa, 5, W).
+      tables: (P, 1364, Kp) f32 extended emission tables.
+      tvecs: (P, 8, Kp) f32 transition vectors.
+      xts: (WG, W, 16) f32 per-window special costs (13 used, padded).
+      lengths: (WG, W, 1) int32 window lengths (0 => unused pad slot).
+      codes: (WG, NLB, kappa, 5, W) int32 fragment codes — start-indexed
+        for "pending" mode, slot-major for "static", duration-major else.
 
-    Returns (alt, null): (NPAIR, W) f32.
+    Returns (alt, null): (P, WG, W) f32 min-plus costs (+inf for pads).
     """
+    kappa, mode, prefetch = _resolve(kappa, mode, prefetch)
+    return _scores_grid_jit(tables, tvecs, xts, lengths, codes, kappa=kappa,
+                            interpret=interpret, mode=mode, prefetch=prefetch)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kappa", "interpret", "mode", "prefetch"))
+def _scores_pairs_jit(pidx, tables, tvecs, xts, lengths, codes, *,
+                      kappa, interpret, mode, prefetch):
     _, _, Kp = tables.shape
     NPAIR, NLB = codes.shape[0], codes.shape[1]
+    W = codes.shape[4]
+    inner, scratch = _make_kernel(mode, prefetch, kappa, NLB, Kp, nlb_dim=1,
+                                  w=W)
 
     def kernel(pidx_ref, *rest):
         # pidx is consumed by the index maps only; drop the leading ref.
-        _kernel(*rest, kappa=kappa, num_lblocks=NLB, Kp=Kp, nlb_dim=1,
-                mode=mode, prefetch=prefetch)
+        inner(*rest)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NPAIR, NLB),
@@ -463,15 +656,7 @@ def viterbi_scores_pairs(pidx, tables, tvecs, xts, lengths, codes, *,
             pl.BlockSpec((1, 1, W, 1), lambda pair, nlb, pidx: (pair, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 5, W, Kp), jnp.float32),  # MA double buffer
-            pltpu.VMEM((5, W, Kp), jnp.float32),
-            pltpu.VMEM((5, W, Kp), jnp.float32),
-            pltpu.VMEM((5, W, Kp), jnp.float32),
-            pltpu.VMEM((7, 5, W, 1), jnp.float32),
-            pltpu.VMEM((W, 1), jnp.float32),
-            pltpu.VMEM((W, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     out_shape = [
         jax.ShapeDtypeStruct((NPAIR, 1, W, 1), jnp.float32),
@@ -482,6 +667,33 @@ def viterbi_scores_pairs(pidx, tables, tvecs, xts, lengths, codes, *,
         interpret=interpret,
     )(pidx, codes, tables, tvecs, xts, lengths)
     return alt[:, 0, :, 0], nul[:, 0, :, 0]
+
+
+def viterbi_scores_pairs(pidx, tables, tvecs, xts, lengths, codes, *,
+                         kappa=None, interpret=False, mode=None,
+                         prefetch=None):
+    """Ragged batching: score NPAIR (profile, window-group) pairs.
+
+    This is the production scheduler shape — each pair binds a window-group
+    to ITS profile (window geometry depends on the profile's core size, so
+    different profiles scan different windows; the dense grid variant would
+    score every group against every profile).  The profile index array is a
+    scalar-prefetch argument, so the pipeline DMAs each pair's emission
+    table by data-dependent index (the TPU analog of the reference's
+    per-thread protein partition walk, c-core/protein_reader.c:77-101).
+
+    Args:
+      pidx: (NPAIR,) int32 profile index per pair.
+      tables/tvecs: stacked per-profile tables (P, 1364, Kp)/(P, 8, Kp).
+      xts: (NPAIR, W, 16); lengths: (NPAIR, W, 1); codes: (NPAIR, NLB,
+        kappa, 5, W).
+
+    Returns (alt, null): (NPAIR, W) f32.
+    """
+    kappa, mode, prefetch = _resolve(kappa, mode, prefetch)
+    return _scores_pairs_jit(pidx, tables, tvecs, xts, lengths, codes,
+                             kappa=kappa, interpret=interpret, mode=mode,
+                             prefetch=prefetch)
 
 
 # ---------------------------------------------------------------------------
@@ -503,13 +715,28 @@ def slot_major_codes(c: np.ndarray) -> np.ndarray:
     return np.take_along_axis(c, tmap[None].astype(np.int64), axis=2)
 
 
+def relayout_codes(c: np.ndarray, mode: str) -> np.ndarray:
+    """Apply the gather mode's host-side code permutation to (B, Lk, 5)
+    duration-major end-indexed codes ("raw" = leave untouched, for the
+    lax.scan scorer)."""
+    if mode == "static":
+        return slot_major_codes(c)
+    if mode == "pending":
+        return start_codes(c)
+    return c
+
+
 def pack_windows(xt: np.ndarray, codes: np.ndarray, lengths: np.ndarray,
-                 kappa: int = KAPPA, slot_major: bool | None = None):
+                 kappa: int | None = None, mode: str | None = None,
+                 w: int = W):
     """Relayout a window batch for the kernel.
 
-    xt (B, 13) f32; codes (B, Lpad, 5) int32; lengths (B,).
+    xt (B, 13) f32; codes (B, Lpad, 5) int32 duration-major END-indexed
+    fragment codes; lengths (B,).
     Returns (xts (WG, W, 16), lengths (WG, W, 1), codes (WG, NLB, kappa, 5, W)).
     """
+    kappa, mode, _ = _resolve(kappa, mode, None)
+    W = w
     B, Lpad, _ = codes.shape
     WG = (B + W - 1) // W
     Lk = round_up(max(Lpad, 1), kappa)
@@ -525,10 +752,7 @@ def pack_windows(xt: np.ndarray, codes: np.ndarray, lengths: np.ndarray,
 
     c = np.zeros((WG * W, Lk, 5), np.int32)
     c[:B, :Lpad] = codes
-    if slot_major is None:
-        slot_major = GATHER_MODE == "static"
-    if slot_major:
-        c = slot_major_codes(c)
+    c = relayout_codes(c, mode)
     # (WG*W, Lk, 5) -> (WG, NLB, kappa, 5, W)
     c = c.reshape(WG, W, NLB, kappa, 5).transpose(0, 2, 3, 4, 1)
     return xts, lens, np.ascontiguousarray(c)
@@ -537,7 +761,9 @@ def pack_windows(xt: np.ndarray, codes: np.ndarray, lengths: np.ndarray,
 class PallasScanEngine:
     """Caches kernel-ready tables per profile pack; scores (P, B) tiles."""
 
-    def __init__(self, costs_list: list[ViterbiCosts], interpret: bool = False):
+    def __init__(self, costs_list: list[ViterbiCosts], interpret: bool = False,
+                 w: int = W):
+        self.w = w
         Kp = common_kp(costs_list)
         pairs = [build_tables(c, Kp) for c in costs_list]
         self.tables = jnp.asarray(np.stack([t for t, _ in pairs]))
@@ -547,10 +773,13 @@ class PallasScanEngine:
     def scores(self, xt: np.ndarray, codes: np.ndarray, lengths: np.ndarray):
         """Returns (null_costs, alt_costs): (P, B) f32."""
         B = codes.shape[0]
-        xts, lens, ck = pack_windows(xt, codes, lengths)
+        kappa, mode, prefetch = _resolve(None, None, None)
+        xts, lens, ck = pack_windows(xt, codes, lengths, kappa=kappa,
+                                     mode=mode, w=self.w)
         alt, nul = viterbi_scores_grid(
             self.tables, self.tvecs, jnp.asarray(xts), jnp.asarray(lens),
-            jnp.asarray(ck), interpret=self.interpret)
+            jnp.asarray(ck), kappa=kappa, mode=mode, prefetch=prefetch,
+            interpret=self.interpret)
         P = self.tables.shape[0]
         alt = np.asarray(alt).reshape(P, -1)[:, :B]
         nul = np.asarray(nul).reshape(P, -1)[:, :B]

@@ -32,7 +32,7 @@ class MultiDevicePairScorer:
 
         self._vp = vp
         self.devices = list(devices if devices is not None else jax.devices())
-        self.kappa = kappa or vp.KAPPA
+        self.kappa, self.mode, self.prefetch = vp._resolve(kappa, None, None)
         self.interpret = interpret
         Kp = vp.common_kp(costs_list)
         pairs = [vp.build_tables(c, Kp) for c in costs_list]
@@ -51,12 +51,14 @@ class MultiDevicePairScorer:
         inflight = []
         for i, bucket in enumerate(buckets):
             d = self.devices[i % len(self.devices)]
-            pidx, xts, lens, ck, _ = bucket_arrays(bucket, self.kappa)
+            pidx, xts, lens, ck, _ = bucket_arrays(bucket, self.kappa,
+                                                   mode=self.mode)
             put = lambda a: jax.device_put(jnp.asarray(a), d)
             alt, nul = self._vp.viterbi_scores_pairs(
                 put(pidx), self.tables[i % len(self.devices)],
                 self.tvecs[i % len(self.devices)], put(xts), put(lens),
-                put(ck), kappa=self.kappa, interpret=self.interpret)
+                put(ck), kappa=self.kappa, interpret=self.interpret,
+                mode=self.mode, prefetch=self.prefetch)
             inflight.append((bucket, alt, nul))
 
         results: dict[int, tuple[float, float]] = {}

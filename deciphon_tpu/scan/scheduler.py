@@ -25,7 +25,7 @@ from ..ops.costs import ViterbiCosts
 from ..xtrans import xtrans_cost_vector
 from .window import Window
 
-W = 8  # windows per group; must match ops.viterbi_pallas.W
+W = 8  # default windows per group (scorers may choose wider groups)
 
 
 def next_pow2(n: int) -> int:
@@ -59,8 +59,8 @@ class _Bucket:
 
 
 def build_batches(items: list[PairItem], kappa: int,
-                  max_pairs: int = 256) -> list[_Bucket]:
-    """Group items by profile into W-slots; bucket groups by padded NLB."""
+                  max_pairs: int = 256, w: int = W) -> list[_Bucket]:
+    """Group items by profile into w-slots; bucket groups by padded NLB."""
     by_profile: dict[int, list[PairItem]] = {}
     for it in items:
         by_profile.setdefault(it.p_idx, []).append(it)
@@ -68,8 +68,8 @@ def build_batches(items: list[PairItem], kappa: int,
     groups: list[list[PairItem]] = []
     for p_idx in sorted(by_profile):
         wins = by_profile[p_idx]
-        for i in range(0, len(wins), W):
-            groups.append(wins[i:i + W])
+        for i in range(0, len(wins), w):
+            groups.append(wins[i:i + w])
 
     buckets: dict[int, _Bucket] = {}
     for g in groups:
@@ -85,11 +85,14 @@ def build_batches(items: list[PairItem], kappa: int,
     return out
 
 
-def bucket_arrays(bucket: _Bucket, kappa: int):
+def bucket_arrays(bucket: _Bucket, kappa: int, mode: str = "raw",
+                  w: int = W):
     """Assemble padded kernel inputs for one bucket.
 
-    Returns (pidx (N,), xts (N,W,16), lens (N,W,1), codes (N,NLB,kappa,5,W))
+    Returns (pidx (N,), xts (N,w,16), lens (N,w,1), codes (N,NLB,kappa,5,w))
     with N = next_pow2(len(groups)); pad pairs have length 0 everywhere.
+    `mode` selects the kernel's host-side code permutation; "raw" (the
+    lax.scan scorer) skips it entirely.
     """
     n = len(bucket.groups)
     N = next_pow2(max(1, n))
@@ -97,9 +100,9 @@ def bucket_arrays(bucket: _Bucket, kappa: int):
     Lk = NLB * kappa
 
     pidx = np.zeros((N,), np.int32)
-    xts = np.zeros((N, W, 16), np.float32)
-    lens = np.zeros((N, W, 1), np.int32)
-    codes = np.zeros((N, W, Lk, 5), np.int32)
+    xts = np.zeros((N, w, 16), np.float32)
+    lens = np.zeros((N, w, 1), np.int32)
+    codes = np.zeros((N, w, Lk, 5), np.int32)
     for gi, g in enumerate(bucket.groups):
         pidx[gi] = g[0].p_idx
         for wi, it in enumerate(g):
@@ -109,11 +112,10 @@ def bucket_arrays(bucket: _Bucket, kappa: int):
             codes[gi, wi, :L] = it.codes
     from ..ops import viterbi_pallas as vp
 
-    c = codes
-    if vp.GATHER_MODE == "static":  # kernel expects slot-major code order
-        c = vp.slot_major_codes(c.reshape(N * W, Lk, 5)).reshape(N, W, Lk, 5)
-    # (N, W, Lk, 5) -> (N, NLB, kappa, 5, W)
-    ck = c.reshape(N, W, NLB, kappa, 5).transpose(0, 2, 3, 4, 1)
+    c = vp.relayout_codes(codes.reshape(N * w, Lk, 5), mode)
+    c = c.reshape(N, w, Lk, 5)
+    # (N, w, Lk, 5) -> (N, NLB, kappa, 5, w)
+    ck = c.reshape(N, w, NLB, kappa, 5).transpose(0, 2, 3, 4, 1)
     return pidx, xts, lens, np.ascontiguousarray(ck), codes
 
 
@@ -121,13 +123,16 @@ class PairScorer:
     """Scores scheduled pairs with the Pallas kernel (or interpret mode)."""
 
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
-                 kappa: int | None = None):
+                 kappa: int | None = None, w: int | None = None):
         import jax.numpy as jnp
 
         from ..ops import viterbi_pallas as vp
 
         self._vp = vp
-        self.kappa = kappa or vp.KAPPA
+        # Pin mode/kappa/group-width at construction so every batch of
+        # this scorer packs and compiles consistently.
+        self.kappa, self.mode, self.prefetch = vp._resolve(kappa, None, None)
+        self.w = w if w is not None else W
         Kp = vp.common_kp(costs_list)
         pairs = [vp.build_tables(c, Kp) for c in costs_list]
         self.tables = jnp.asarray(np.stack([t for t, _ in pairs]))
@@ -138,13 +143,24 @@ class PairScorer:
         """Returns {id(item) -> (null_cost, alt_cost)}."""
         import jax.numpy as jnp
 
+        # Effective group width: don't pad tiny workloads up to the full
+        # width (a scan of a few windows per profile would waste w-fold
+        # compute); widths are powers of two so the compile cache stays
+        # small.
+        per_profile: dict[int, int] = {}
+        for it in items:
+            per_profile[it.p_idx] = per_profile.get(it.p_idx, 0) + 1
+        w_eff = max(8, min(self.w, next_pow2(max(per_profile.values()))))
+
         results: dict[int, tuple[float, float]] = {}
-        for bucket in build_batches(items, self.kappa):
-            pidx, xts, lens, ck, _ = bucket_arrays(bucket, self.kappa)
+        for bucket in build_batches(items, self.kappa, w=w_eff):
+            pidx, xts, lens, ck, _ = bucket_arrays(bucket, self.kappa,
+                                                   mode=self.mode, w=w_eff)
             alt, nul = self._vp.viterbi_scores_pairs(
                 jnp.asarray(pidx), self.tables, self.tvecs,
                 jnp.asarray(xts), jnp.asarray(lens), jnp.asarray(ck),
-                kappa=self.kappa, interpret=self.interpret)
+                kappa=self.kappa, interpret=self.interpret,
+                mode=self.mode, prefetch=self.prefetch)
             alt = np.asarray(alt)
             nul = np.asarray(nul)
             for gi, g in enumerate(bucket.groups):
@@ -168,14 +184,24 @@ class BucketedPairScorer:
     # beyond it (reference limit: K <= 16384, c-core/model.h:12) route to
     # the lax.scan engine, which keeps tables in HBM.
     MAX_PALLAS_KP = 2048
+    # The kernel is latency-bound per DP step, so throughput scales with
+    # the window-group width w until VMEM runs out: cap w * Kp (the size
+    # of each (w, Kp) state plane) at this budget, measured stable on
+    # TPU v5e with the double-buffered table.
+    W_LANE_BUDGET = 128 * 512
 
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
                  kappa: int | None = None,
-                 scorer_factory=None):
+                 scorer_factory=None, w: int | None = None):
         from ..ops import viterbi_pallas as vp
 
-        factory = scorer_factory or (
-            lambda costs: PairScorer(costs, interpret=interpret, kappa=kappa))
+        def default_factory(costs):
+            kp = vp.common_kp(costs)
+            wb = w if w is not None else max(
+                8, min(128, self.W_LANE_BUDGET // kp))
+            return PairScorer(costs, interpret=interpret, kappa=kappa, w=wb)
+
+        factory = scorer_factory or default_factory
         buckets: dict[int, list[int]] = {}
         for i, c in enumerate(costs_list):
             kp = vp.round_up(max(c.K + 2, 128), 128)
@@ -234,7 +260,8 @@ class JaxPairScorer:
 
         results: dict[int, tuple[float, float]] = {}
         for bucket in build_batches(items, self.kappa):
-            _, xts, lens, _, codes = bucket_arrays(bucket, self.kappa)
+            _, xts, lens, _, codes = bucket_arrays(bucket, self.kappa,
+                                                   mode="raw")
             for gi, g in enumerate(bucket.groups):
                 core, match, null, bg = self._dev[g[0].p_idx]
                 nul, alt = scan_scores_jit(

@@ -62,8 +62,7 @@ def test_pack_windows_layout():
     xt = np.arange(3 * 13, dtype=np.float32).reshape(3, 13)
     codes = np.arange(3 * 10 * 5, dtype=np.int32).reshape(3, 10, 5) % 1364
     lengths = np.array([10, 7, 9], np.int32)
-    xts, lens, ck = pack_windows(xt, codes, lengths, kappa=8,
-                                 slot_major=False)
+    xts, lens, ck = pack_windows(xt, codes, lengths, kappa=8, mode="slot")
     assert xts.shape == (1, 8, 16)
     assert lens.shape == (1, 8, 1)
     assert ck.shape == (1, 2, 8, 5, 8)
@@ -110,16 +109,28 @@ def test_static_gather_mode_bit_identical():
     costs, xt, codes, lengths = make_workload(
         [(11, 5), (12, 17)], B=5, L=41, seed=2)
     eng = PallasScanEngine(costs, interpret=True)
-    xts, lens, ck = pack_windows(xt, codes, lengths, slot_major=False)
+    kap = vp.KAPPA
+    xts, lens, ck = pack_windows(xt, codes, lengths, kappa=kap, mode="slot")
     a1, n1 = vp.viterbi_scores_grid(
         eng.tables, eng.tvecs, jnp.asarray(xts), jnp.asarray(lens),
-        jnp.asarray(ck), interpret=True, mode="slot")
-    xts2, lens2, ck2 = pack_windows(xt, codes, lengths, slot_major=True)
+        jnp.asarray(ck), kappa=kap, interpret=True, mode="slot")
+    xts2, lens2, ck2 = pack_windows(xt, codes, lengths, kappa=kap,
+                                    mode="static")
     a2, n2 = vp.viterbi_scores_grid(
         eng.tables, eng.tvecs, jnp.asarray(xts2), jnp.asarray(lens2),
-        jnp.asarray(ck2), interpret=True, mode="static")
+        jnp.asarray(ck2), kappa=kap, interpret=True, mode="static")
     assert np.array_equal(np.asarray(a1), np.asarray(a2))
     assert np.array_equal(np.asarray(n1), np.asarray(n2))
+
+    # and the pending push-formulation is bit-identical too
+    kap_p = vp.KAPPA_PENDING
+    xts3, lens3, ck3 = pack_windows(xt, codes, lengths, kappa=kap_p,
+                                    mode="pending")
+    a3, n3 = vp.viterbi_scores_grid(
+        eng.tables, eng.tvecs, jnp.asarray(xts3), jnp.asarray(lens3),
+        jnp.asarray(ck3), kappa=kap_p, interpret=True, mode="pending")
+    assert np.array_equal(np.asarray(a1), np.asarray(a3))
+    assert np.array_equal(np.asarray(n1), np.asarray(n3))
 
 
 def test_bucketed_scorer_routes_large_profiles_to_jax():
