@@ -385,7 +385,16 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     Scratch: MA (5, W, Kp) staging for the 5 gathered rows; PM/PI
     (5, W, Kp) pending mins for M and I; PSM (4, 5, W, 1) pending mins
     for N, J, C, R; ST (3, W, Kp) previous-step M/I/D; SS (7, W, 1)
-    previous-step specials [S B N J C E R]."""
+    previous-step specials [S B N J C E R].
+
+    Large-K mode (pidx_ref is not None): table_ref is the FULL stacked
+    (P, 1364, Kp) table living in HBM (memory_space ANY) — a VMEM-resident
+    copy would need ~90 MB at K = 16384 — and the per-(t, window) row
+    gathers become explicit async DMAs into MA, tracked by dma_sem
+    (5, W).  Everything else (all DP state) still fits VMEM: the rings
+    are ~9.5 MB at Kp = 16512, W = 8, which is what makes streaming only
+    the table sufficient to reach the reference's K <= 16384 limit
+    (c-core/model.h:12) without tiling the recurrence itself."""
     W = w  # window-group width (shadows the module default)
     nlb = pl.program_id(nlb_dim)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (W, Kp), 1)
@@ -694,6 +703,220 @@ def viterbi_scores_pairs(pidx, tables, tvecs, xts, lengths, codes, *,
     return _scores_pairs_jit(pidx, tables, tvecs, xts, lengths, codes,
                              kappa=kappa, interpret=interpret, mode=mode,
                              prefetch=prefetch)
+
+
+# ---------------------------------------------------------------------------
+# Large-profile path: HBM-resident tables + per-block XLA row gather.
+#
+# Beyond MAX_PALLAS_KP lanes the (1364, Kp) emission table no longer fits
+# VMEM (~90 MB at the reference's K=16384 limit, c-core/model.h:12), and a
+# per-row DMA gather is impossible (Mosaic requires DMA slices into tiled
+# VMEM to be sublane-aligned; an emission row is 1 sublane).  So the row
+# gather is hoisted to XLA: a lax.scan over l-blocks gathers each block's
+# (kappa, 5, W, Kp) emission planes with jnp.take (bandwidth-bound,
+# aligned), and a stateless Pallas "block kernel" advances the DP kappa
+# positions, carrying its state (pending accumulators + previous-position
+# rings) through HBM with input/output aliasing.  The DP state still spans
+# the FULL K in VMEM (~13 (W, Kp) planes), which is what makes streaming
+# only the table sufficient — the recurrence itself is never K-tiled, so
+# the delete chain and the E/B specials feedback stay single-kernel.
+#
+# BIG state rows: 0-4 pending-M slots, 5-9 pending-I slots, 10-12 previous
+# M/I/D.  SMALL state rows: 0-19 pending specials (kind*5+slot for N,J,C,R),
+# 20-26 previous specials [S B N J C E R], 27 final-T, 28 final-R.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_block_large(l0_ref, e_ref, tvec_ref, xt_ref, len_ref,
+                        big_in, small_in, big_out, small_out,
+                        BIG, SMALL, sem_big, sem_small, *, kappa, Kp, w):
+    W = w
+    i = pl.program_id(0)
+    l = l0_ref[0] + i + 1  # 1-based DP position
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (W, Kp), 1)
+    xt = xt_ref[...]  # (W, 16)
+
+    def xtc(j):
+        return xt[:, j:j + 1]
+
+    tv_mms = tvec_ref[TV_MMS]
+    tv_ims = tvec_ref[TV_IMS]
+    tv_dms = tvec_ref[TV_DMS]
+    tv_bm = tvec_ref[TV_BM]
+    tv_ii = tvec_ref[TV_II]
+    tv_mi = tvec_ref[TV_MI]
+    tv_md = tvec_ref[TV_MD]
+    tv_ddcum = tvec_ref[TV_DDCUM]
+
+    @pl.when(i == 0)
+    def _load():
+        cb = pltpu.make_async_copy(big_in, BIG, sem_big)
+        cs = pltpu.make_async_copy(small_in, SMALL, sem_small)
+        cb.start()
+        cs.start()
+        cb.wait()
+        cs.wait()
+
+    ma = e_ref[0]  # (5, W, Kp) emission rows, fragments STARTING at l
+    sm, si, sd = BIG[10], BIG[11], BIG[12]
+    ss = SMALL[pl.ds(20, 7)]  # (7, W, 1): S B N J C E R at l-1
+
+    # -- push contributions of state l-1 (same math as _kernel_pending) --
+    inner = jnp.minimum(jnp.minimum(sm + tv_mms, si + tv_ims), sd + tv_dms)
+    contrib = jnp.minimum(_lane_shift1(inner), ss[1] + tv_bm)
+    icand = jnp.minimum(si + tv_ii, sm + tv_mi)
+    cN = jnp.minimum(ss[0] + xtc(XT_SN), ss[2] + xtc(XT_NN))
+    cJ = jnp.minimum(ss[5] + xtc(XT_EJ), ss[3] + xtc(XT_JJ))
+    cC = jnp.minimum(ss[5] + xtc(XT_EC), ss[4] + xtc(XT_CC))
+    cR = ss[6]
+    for t in range(1, 6):
+        st = jax.lax.rem(l - 1 + t, 5)  # dynamic ring slot
+        row = ma[t - 1]  # (W, Kp)
+        nil = row[:, Kp - 2:Kp - 1]
+        bg = row[:, Kp - 1:Kp]
+        pm = (contrib + row)[None]
+        pi = (icand + bg)[None]
+        psm = jnp.stack([cN + nil, cJ + nil, cC + nil, cR + nil])  # (4, W, 1)
+        if t == 5:  # slot consumed last step: fresh assignment
+            BIG[pl.ds(st, 1)] = pm
+            BIG[pl.ds(st + 5, 1)] = pi
+            for kind in range(4):
+                SMALL[pl.ds(kind * 5 + st, 1)] = psm[kind][None]
+        else:
+            BIG[pl.ds(st, 1)] = jnp.minimum(BIG[pl.ds(st, 1)], pm)
+            BIG[pl.ds(st + 5, 1)] = jnp.minimum(BIG[pl.ds(st + 5, 1)], pi)
+            for kind in range(4):
+                SMALL[pl.ds(kind * 5 + st, 1)] = jnp.minimum(
+                    SMALL[pl.ds(kind * 5 + st, 1)], psm[kind][None])
+
+    # -- consume position l --------------------------------------------
+    slot = jax.lax.rem(l, 5)
+    M_l = BIG[pl.ds(slot, 1)][0]
+    I_l = BIG[pl.ds(slot + 5, 1)][0]
+    A = _lane_shift1(M_l) + tv_md
+    D_l = _lane_cummin(A - tv_ddcum, lane2, Kp) + tv_ddcum
+    E_l = jnp.minimum(jnp.min(M_l, axis=1, keepdims=True),
+                      jnp.min(D_l, axis=1, keepdims=True))
+    N_l = SMALL[pl.ds(slot, 1)][0]
+    J_l = SMALL[pl.ds(slot + 5, 1)][0]
+    C_l = SMALL[pl.ds(slot + 10, 1)][0]
+    R_l = SMALL[pl.ds(slot + 15, 1)][0] + xtc(XT_RR)
+    B_l = jnp.minimum(jnp.minimum(N_l + xtc(XT_NB), E_l + xtc(XT_EB)),
+                      J_l + xtc(XT_JB))
+    T_l = jnp.minimum(E_l + xtc(XT_ET), C_l + xtc(XT_CT))
+
+    at_end = len_ref[...] == l  # (W, 1)
+    SMALL[27:28] = jnp.where(at_end, T_l, SMALL[27])[None]
+    SMALL[28:29] = jnp.where(at_end, R_l, SMALL[28])[None]
+
+    BIG[10:11] = M_l[None]
+    BIG[11:12] = I_l[None]
+    BIG[12:13] = D_l[None]
+    ss_l = jnp.stack([jnp.full((W, 1), INF), B_l, N_l, J_l, C_l, E_l, R_l])
+    SMALL[pl.ds(20, 7)] = ss_l
+
+    @pl.when(i == kappa - 1)
+    def _store():
+        cb = pltpu.make_async_copy(BIG, big_out, sem_big)
+        cs = pltpu.make_async_copy(SMALL, small_out, sem_small)
+        cb.start()
+        cs.start()
+        cb.wait()
+        cs.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("kappa", "interpret"))
+def _scores_pairs_hbm_jit(pidx, tables, tvecs, xts, lengths, codes, *,
+                          kappa, interpret):
+    _, _, Kp = tables.shape
+    NPAIR, NLB = codes.shape[0], codes.shape[1]
+    W = codes.shape[4]
+
+    kernel = functools.partial(_kernel_block_large, kappa=kappa, Kp=Kp, w=W)
+
+    def block_call(E, tvec, xt_p, len_p, l0, big, small):
+        return pl.pallas_call(
+            kernel,
+            grid=(kappa,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # l0 (1,)
+                pl.BlockSpec((1, 5, W, Kp), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, Kp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((W, 16), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((W, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # big state, HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # small state, HBM
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((13, W, Kp), jnp.float32),
+                jax.ShapeDtypeStruct((29, W, 1), jnp.float32),
+            ],
+            input_output_aliases={5: 0, 6: 1},
+            scratch_shapes=[
+                pltpu.VMEM((13, W, Kp), jnp.float32),
+                pltpu.VMEM((29, W, 1), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            # Plain interpret=True cannot simulate the DMA primitives;
+            # TPU-interpret mode models semaphores and async copies.
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(l0, E, tvec, xt_p, len_p, big, small)
+
+    def pair_body(carry, inp):
+        pidx_p, xt_p, len_p, codes_p = inp  # codes_p (NLB, kappa, 5, W)
+        table = jax.lax.dynamic_index_in_dim(tables, pidx_p, 0,
+                                             keepdims=False)
+        tvec = jax.lax.dynamic_index_in_dim(tvecs, pidx_p, 0, keepdims=False)
+        big0 = jnp.full((13, W, Kp), INF, jnp.float32)
+        small0 = jnp.concatenate([
+            jnp.full((20, W, 1), INF, jnp.float32),  # pending N J C R
+            jnp.zeros((1, W, 1), jnp.float32),  # S_0 = 0
+            xt_p[:, XT_SB].reshape(1, W, 1),  # B_0 = SB
+            jnp.full((4, W, 1), INF, jnp.float32),  # N J C E
+            -xt_p[:, XT_RR].reshape(1, W, 1),  # R_0 (so R_1 = nil_1)
+            jnp.full((2, W, 1), INF, jnp.float32),  # T/R finals
+        ])
+
+        def blk(state, xs):
+            big, small = state
+            nlb, codes_blk = xs
+            E = jnp.take(table, codes_blk.reshape(-1), axis=0,
+                         mode="clip").reshape(kappa, 5, W, Kp)
+            l0 = jnp.reshape(nlb * kappa, (1,)).astype(jnp.int32)
+            big, small = block_call(E, tvec, xt_p, len_p, l0, big, small)
+            return (big, small), None
+
+        (big, small), _ = jax.lax.scan(
+            blk, (big0, small0),
+            (jnp.arange(NLB, dtype=jnp.int32), codes_p))
+        return carry, (small[27, :, 0], small[28, :, 0])
+
+    _, (alt, nul) = jax.lax.scan(pair_body, None,
+                                 (pidx, xts, lengths, codes))
+    return alt, nul
+
+
+def viterbi_scores_pairs_hbm(pidx, tables, tvecs, xts, lengths, codes, *,
+                             kappa=None, interpret=False):
+    """Large-profile variant of viterbi_scores_pairs: emission tables stay
+    in HBM and each l-block's rows are gathered by XLA, so Kp is bounded
+    by the DP-state VMEM footprint (~23·W·Kp·4 bytes incl. the emission
+    block double-buffer), not the table's — covering the reference's full
+    K <= 16384 range (c-core/model.h:12).  Codes must be packed in
+    "pending" layout (start-indexed, as bucket_arrays/pack_windows emit
+    for mode="pending").  Same contract as viterbi_scores_pairs."""
+    kappa, _, _ = _resolve(kappa, "pending", None)
+    return _scores_pairs_hbm_jit(pidx, tables, tvecs, xts, lengths, codes,
+                                 kappa=kappa, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

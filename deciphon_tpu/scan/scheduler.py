@@ -123,15 +123,19 @@ class PairScorer:
     """Scores scheduled pairs with the Pallas kernel (or interpret mode)."""
 
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
-                 kappa: int | None = None, w: int | None = None):
+                 kappa: int | None = None, w: int | None = None,
+                 hbm_table: bool = False):
         import jax.numpy as jnp
 
         from ..ops import viterbi_pallas as vp
 
         self._vp = vp
         # Pin mode/kappa/group-width at construction so every batch of
-        # this scorer packs and compiles consistently.
-        self.kappa, self.mode, self.prefetch = vp._resolve(kappa, None, None)
+        # this scorer packs and compiles consistently.  The HBM-table
+        # kernel only exists in the pending formulation.
+        self.hbm_table = hbm_table
+        self.kappa, self.mode, self.prefetch = vp._resolve(
+            kappa, "pending" if hbm_table else None, None)
         self.w = w if w is not None else W
         Kp = vp.common_kp(costs_list)
         pairs = [vp.build_tables(c, Kp) for c in costs_list]
@@ -156,11 +160,17 @@ class PairScorer:
         for bucket in build_batches(items, self.kappa, w=w_eff):
             pidx, xts, lens, ck, _ = bucket_arrays(bucket, self.kappa,
                                                    mode=self.mode, w=w_eff)
-            alt, nul = self._vp.viterbi_scores_pairs(
-                jnp.asarray(pidx), self.tables, self.tvecs,
-                jnp.asarray(xts), jnp.asarray(lens), jnp.asarray(ck),
-                kappa=self.kappa, interpret=self.interpret,
-                mode=self.mode, prefetch=self.prefetch)
+            if self.hbm_table:
+                alt, nul = self._vp.viterbi_scores_pairs_hbm(
+                    jnp.asarray(pidx), self.tables, self.tvecs,
+                    jnp.asarray(xts), jnp.asarray(lens), jnp.asarray(ck),
+                    kappa=self.kappa, interpret=self.interpret)
+            else:
+                alt, nul = self._vp.viterbi_scores_pairs(
+                    jnp.asarray(pidx), self.tables, self.tvecs,
+                    jnp.asarray(xts), jnp.asarray(lens), jnp.asarray(ck),
+                    kappa=self.kappa, interpret=self.interpret,
+                    mode=self.mode, prefetch=self.prefetch)
             alt = np.asarray(alt)
             nul = np.asarray(nul)
             for gi, g in enumerate(bucket.groups):
@@ -182,13 +192,17 @@ class BucketedPairScorer:
     # Largest lane width whose (1364, Kp) f32 emission table plus the
     # kernel's ring/gather scratch still fits ~16 MB of VMEM.  Profiles
     # beyond it (reference limit: K <= 16384, c-core/model.h:12) route to
-    # the lax.scan engine, which keeps tables in HBM.
+    # the HBM-table kernel, which streams emission rows per position.
+    # Compile-verified on TPU v5e at Kp=2048 (pairs kernel, W=8).
     MAX_PALLAS_KP = 2048
     # The kernel is latency-bound per DP step, so throughput scales with
     # the window-group width w until VMEM runs out: cap w * Kp (the size
     # of each (w, Kp) state plane) at this budget, measured stable on
     # TPU v5e with the double-buffered table.
     W_LANE_BUDGET = 128 * 512
+    # HBM-table mode: VMEM holds only the DP state, ~18 (w, Kp) f32
+    # planes (MA + PM + PI + ST rings) = 72*w*Kp bytes; budget ~10.5 MB.
+    HBM_STATE_BUDGET = 10_500_000
 
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
                  kappa: int | None = None,
@@ -200,6 +214,17 @@ class BucketedPairScorer:
             wb = w if w is not None else max(
                 8, min(128, self.W_LANE_BUDGET // kp))
             return PairScorer(costs, interpret=interpret, kappa=kappa, w=wb)
+
+        def hbm_factory(costs):
+            kp = vp.common_kp(costs)
+            if w is not None:
+                wb = w
+            else:
+                wb = 8
+                while wb * 2 <= min(128, self.HBM_STATE_BUDGET // (72 * kp)):
+                    wb *= 2
+            return PairScorer(costs, interpret=interpret, kappa=kappa, w=wb,
+                              hbm_table=True)
 
         factory = scorer_factory or default_factory
         buckets: dict[int, list[int]] = {}
@@ -215,8 +240,11 @@ class BucketedPairScorer:
             for local, gi in enumerate(idxs):
                 self._map[gi] = (len(self.scorers), local)
             costs = [costs_list[i] for i in idxs]
-            if b > self.MAX_PALLAS_KP and scorer_factory is None:
-                self.scorers.append(JaxPairScorer(costs))
+            # Oversized-K buckets go to the HBM-table kernel even when a
+            # custom factory is supplied: factories budget for the
+            # VMEM-resident table and would fail kernel compilation.
+            if b > self.MAX_PALLAS_KP:
+                self.scorers.append(hbm_factory(costs))
             else:
                 self.scorers.append(factory(costs))
 

@@ -133,8 +133,10 @@ def test_static_gather_mode_bit_identical():
     assert np.array_equal(np.asarray(n1), np.asarray(n3))
 
 
-def test_bucketed_scorer_routes_large_profiles_to_jax():
-    """K beyond the VMEM table limit must score via the lax.scan engine."""
+def test_bucketed_scorer_routes_large_profiles_to_hbm_kernel():
+    """K beyond the VMEM table limit must score via the HBM-table kernel
+    (the reference supports K <= 16384, c-core/model.h:12), bit-identical
+    to the VMEM-table pending kernel."""
     from deciphon_tpu.scan.scheduler import (BucketedPairScorer, JaxPairScorer,
                                              PairItem)
     from deciphon_tpu.scan.window import Window
@@ -155,7 +157,7 @@ def test_bucketed_scorer_routes_large_profiles_to_jax():
     try:
         BucketedPairScorer.MAX_PALLAS_KP = 64  # force the large-K path
         bucketed = BucketedPairScorer(costs, interpret=True)
-        assert all(isinstance(s, JaxPairScorer) for s in bucketed.scorers)
+        assert all(s.hbm_table for s in bucketed.scorers)
         got = bucketed.score(items)
     finally:
         BucketedPairScorer.MAX_PALLAS_KP = saved
@@ -163,3 +165,25 @@ def test_bucketed_scorer_routes_large_profiles_to_jax():
     for it in items:
         np.testing.assert_allclose(got[id(it)], want[id(it)],
                                    rtol=2e-6, atol=2e-5)
+
+
+def test_hbm_kernel_bit_identical_to_vmem_kernel():
+    """viterbi_scores_pairs_hbm == viterbi_scores_pairs (pending mode):
+    same DP, only the emission-table residency differs."""
+    from deciphon_tpu.ops import viterbi_pallas as vp
+
+    costs, xt, codes, lengths = make_workload(
+        [(21, 130)], B=3, L=48, seed=13)
+    table, tvec = vp.build_tables(costs[0])
+    tables = jnp.asarray(table[None])
+    tvecs = jnp.asarray(tvec[None])
+    xts, lens, ck = pack_windows(xt, codes, lengths, mode="pending", w=8)
+    pidx = jnp.zeros((1,), jnp.int32)
+    a1, n1 = vp.viterbi_scores_pairs(
+        pidx, tables, tvecs, jnp.asarray(xts), jnp.asarray(lens),
+        jnp.asarray(ck), mode="pending", interpret=True)
+    a2, n2 = vp.viterbi_scores_pairs_hbm(
+        pidx, tables, tvecs, jnp.asarray(xts), jnp.asarray(lens),
+        jnp.asarray(ck), interpret=True)
+    assert np.array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.array_equal(np.asarray(n1), np.asarray(n2))
