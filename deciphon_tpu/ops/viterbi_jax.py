@@ -250,3 +250,11 @@ viterbi_batch = jax.jit(
 viterbi_null_batch = jax.jit(
     jax.vmap(viterbi_null, in_axes=(None, None, 0, 0))
 )
+# Path mode batched across survivors of one profile (phase-2 of the scan
+# pipeline): returns (scores (B,), xnodes (B, Lpad+1), nodes (B, Lpad+1, K)).
+viterbi_path_batch = jax.jit(
+    jax.vmap(
+        functools.partial(viterbi, path=True),
+        in_axes=(None, None, None, None, 0, 0, 0),
+    )
+)

@@ -32,9 +32,7 @@ from .. import states as st
 from ..frame import frag_code
 from ..ops.costs import ViterbiCosts, build_costs
 from ..ops.traceback import unzip
-from ..ops.viterbi_jax import viterbi
 from ..profile import FrameProfile
-from ..xtrans import xtrans_cost_vector
 from .decoder import Decoder
 from .product import MatchStep, ProductLine, ProductWriter
 from .scheduler import JaxPairScorer, PairItem, PairScorer
@@ -159,7 +157,7 @@ class Scanner:
             rest = pending[len(batch):]
             scores = self.scorer.score(batch)
             self.metrics.pairs_batches += 1
-            nxt: list[PairItem] = []
+            survivors: list[tuple[PairItem, float]] = []
             for it in batch:
                 self.metrics.add_window(
                     it.win.length, self.profiles[it.p_idx].core_size)
@@ -167,8 +165,17 @@ class Scanner:
                 line_lrt = lrt(null_c, alt_c)
                 if math.isfinite(line_lrt) and line_lrt >= 0:
                     self.metrics.survivors += 1
-                    self._phase2(it, sequences[it.s_idx], line_lrt,
-                                 cursors[(it.p_idx, it.s_idx)], writer)
+                    survivors.append((it, line_lrt))
+            # Phase 2 batched across this round's survivors (grouped by
+            # profile and padded length): survivor-heavy scans pay one
+            # vmapped path pass per group, not one dispatch per survivor.
+            trellises = self._batched_paths(survivors)
+            for it, line_lrt in survivors:
+                self._phase2(it, sequences[it.s_idx], line_lrt,
+                             cursors[(it.p_idx, it.s_idx)], writer,
+                             trellises[id(it)])
+            nxt: list[PairItem] = []
+            for it in batch:
                 item = self._next_item(it.p_idx, it.s_idx,
                                        cursors[(it.p_idx, it.s_idx)],
                                        sequences)
@@ -209,23 +216,59 @@ class Scanner:
             self._decoders[p_idx] = Decoder(self.profiles[p_idx])
         return self._decoders[p_idx]
 
+    # Device-memory cap for one batched path call: the packed trellis is
+    # ~(2K+8) bytes per position per survivor, so chunk groups to bound it.
+    PATH_BATCH_BYTES = 256 << 20
+
+    def _batched_paths(self, survivors) -> dict[int, tuple]:
+        """Path-mode Viterbi for every LRT survivor of one scoring round.
+
+        Survivors are grouped by (profile, padded window length) and each
+        group runs as one vmapped device call (ops/viterbi_jax.py
+        viterbi_path_batch); returns {id(item) -> (xnodes, nodes)} host
+        arrays.  The per-survivor lax.scan of the reference flow
+        (c-core/thread.c:126) stays only as the group-of-one case.
+        """
+        from ..ops.viterbi_jax import viterbi_path_batch
+
+        groups: dict[tuple[int, int], list[PairItem]] = {}
+        for it, _ in survivors:
+            groups.setdefault((it.p_idx, _pad_len(it.win.length)),
+                              []).append(it)
+        out: dict[int, tuple] = {}
+        for (p_idx, Lpad), items in groups.items():
+            costs = self.costs[p_idx]
+            K = self.profiles[p_idx].core_size
+            per = Lpad * (2 * K + 8)
+            chunk = max(1, self.PATH_BATCH_BYTES // max(per, 1))
+            dev = (jnp.asarray(costs.core), jnp.asarray(costs.match),
+                   jnp.asarray(costs.null), jnp.asarray(costs.background))
+            for i0 in range(0, len(items), chunk):
+                sub = items[i0:i0 + chunk]
+                codes = np.zeros((len(sub), Lpad, 5), np.int32)
+                xts = np.zeros((len(sub), 13), np.float32)
+                lengths = np.zeros((len(sub),), np.int32)
+                for b, it in enumerate(sub):
+                    codes[b, :it.win.length] = it.codes
+                    xts[b] = it.xt
+                    lengths[b] = it.win.length
+                _, xn, nd = viterbi_path_batch(
+                    *dev, jnp.asarray(xts), jnp.asarray(codes),
+                    jnp.asarray(lengths))
+                xn = np.asarray(xn)
+                nd = np.asarray(nd)
+                for b, it in enumerate(sub):
+                    out[id(it)] = (xn[b], nd[b])
+        return out
+
     def _phase2(self, it: PairItem, seq: Sequence, line_lrt: float,
-                cursor: WindowCursor, writer: ProductWriter) -> None:
+                cursor: WindowCursor, writer: ProductWriter,
+                trellis: tuple) -> None:
         p_idx, win = it.p_idx, it.win
         profile = self.profiles[p_idx]
-        costs = self.costs[p_idx]
         L = win.length
-        Lpad = _pad_len(L)
-        codes = np.zeros((Lpad, 5), dtype=np.int32)
-        codes[:L] = it.codes
-        xt = xtrans_cost_vector(self.config.multi_hits,
-                                self.config.hmmer3_compat, L)
-        score, xnodes, nodes = viterbi(
-            jnp.asarray(costs.core), jnp.asarray(costs.match),
-            jnp.asarray(costs.null), jnp.asarray(costs.background),
-            jnp.asarray(xt), jnp.asarray(codes), jnp.int32(L), path=True)
-        path = unzip(np.asarray(xnodes), np.asarray(nodes), L,
-                     profile.core_size)
+        xnodes, nodes = trellis
+        path = unzip(xnodes, nodes, L, profile.core_size)
 
         seg = segment_hits(path)
         if seg is None:
