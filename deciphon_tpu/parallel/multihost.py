@@ -1,0 +1,173 @@
+"""Multi-host (DCN) scan execution: per-process profile shards + merge.
+
+The reference's cross-machine tier is a services fabric — MQTT job
+dispatch plus REST/S3 artifact movement (cli/deciphon/worker.py:74-253,
+sched/journal.py) — with no data-plane collectives at all.  The TPU-native
+replacement runs one JAX process per host (`jax.distributed`), statically
+partitions the pressed profile DB into contiguous per-process shards (the
+DCN analog of the reference's intra-node protein partitions,
+c-core/protein_reader.c:29-53 with the balanced split of
+partition_size.c:13-16), and scans each shard independently: windows
+never couple different profiles, so the hot path needs zero inter-host
+traffic.  Each process writes a product shard; the merge back into the
+reference's deterministic (profile, sequence, window) order mirrors the
+per-thread TSV shard merge of c-core/product.c:34-88, keyed here by the
+global profile rank so output is process-count-invariant (the
+thread-count-invariance contract, python-core/tests/test_scan.py:102-104).
+
+Scalar counters (windows, cells, survivors) are summed across processes
+with a real DCN collective (process_allgather) when jax.distributed is
+live — the progress contract's global view.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+__all__ = [
+    "partition_sizes", "process_slice", "init_multihost",
+    "run_sharded_scan", "merge_product_shards",
+]
+
+
+def partition_sizes(n: int, k: int) -> list[int]:
+    """Balanced contiguous partition sizes (c-core/partition_size.c:13-16:
+    size_i = ceil(max(0, n - i) / k))."""
+    return [(max(0, n - i) + k - 1) // k for i in range(k)]
+
+
+def process_slice(num_profiles: int, num_processes: int,
+                  process_id: int) -> tuple[int, int]:
+    """[start, stop) of this process's contiguous profile shard."""
+    sizes = partition_sizes(num_profiles, num_processes)
+    start = sum(sizes[:process_id])
+    return start, start + sizes[process_id]
+
+
+def init_multihost(coordinator_address: str, num_processes: int,
+                   process_id: int) -> None:
+    """Bring up the JAX distributed runtime (DCN coordination service).
+
+    On CPU this still exercises the real multi-process runtime — the
+    coordination service, process-spanning device enumeration and
+    collectives — which is how the multi-host path is dry-run without N
+    TPU hosts."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def _global_counters(local: dict[str, float],
+                     num_processes: int) -> dict[str, float]:
+    """Sum scalar metrics across processes over the collective fabric."""
+    if num_processes <= 1:
+        return dict(local)
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    keys = sorted(local)
+    vec = jnp.asarray([float(local[k]) for k in keys], jnp.float64)
+    gathered = multihost_utils.process_allgather(vec)
+    total = gathered.sum(axis=0)
+    return {k: float(total[i]) for i, k in enumerate(keys)}
+
+
+def run_sharded_scan(profiles, sequences, shared_dir: str, *,
+                     process_id: int, num_processes: int,
+                     config=None, distributed: bool = False,
+                     timeout_s: float = 300.0) -> str | None:
+    """Scan this process's profile shard and merge on process 0.
+
+    Every process calls this with the FULL profile list and sequence
+    batch; the function scans only the [start, stop) shard, writes
+    `<shared_dir>/shard.<pid>/products.tsv`, signals completion with a
+    sentinel file, and process 0 merges all shards into
+    `<shared_dir>/products.tsv` once every sentinel exists (the durable
+    artifact-granularity coordination the reference uses between workers
+    and sched, SURVEY.md §5).  Returns the merged path on process 0, None
+    elsewhere.
+    """
+    from ..scan.pipeline import ScanConfig, Scanner
+
+    start, stop = process_slice(len(profiles), num_processes, process_id)
+    shard_dir = os.path.join(shared_dir, f"shard.{process_id}")
+    scanner = Scanner(list(profiles[start:stop]), config or ScanConfig())
+    scanner.run(list(sequences), shard_dir)
+
+    local = {
+        "windows": scanner.metrics.windows_scored,
+        "cells": scanner.metrics.cells,
+        "survivors": scanner.metrics.survivors,
+        "products": scanner.metrics.products,
+    }
+    if distributed:
+        local = _global_counters(local, num_processes)
+    with open(os.path.join(shared_dir, f"shard.{process_id}.meta"),
+              "w") as fp:
+        json.dump({"start": start, "stop": stop, "counters": local}, fp)
+    # sentinel written last: the shard is complete and durable
+    with open(os.path.join(shared_dir, f"shard.{process_id}.done"), "w"):
+        pass
+
+    if process_id != 0:
+        return None
+    deadline = time.monotonic() + timeout_s
+    for pid in range(num_processes):
+        sentinel = os.path.join(shared_dir, f"shard.{pid}.done")
+        while not os.path.exists(sentinel):
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"shard {pid} never completed")
+            time.sleep(0.02)
+    return merge_product_shards(
+        shared_dir,
+        [os.path.join(shared_dir, f"shard.{pid}") for pid in
+         range(num_processes)],
+        [p.accession for p in profiles])
+
+
+def merge_product_shards(out_dir: str, shard_dirs: list[str],
+                         profile_order: list[str]) -> str:
+    """Merge per-process product shards (c-core/product.c:34-88 analog).
+
+    Rows are re-keyed by (global profile rank, sequence, window, hit) so
+    the merged file is identical to a single-process scan regardless of
+    process count.  h3r blob trees are unioned unchanged (their paths
+    already carry the global coordinates)."""
+    import shutil
+
+    from ..scan.product import HEADER
+
+    rank = {acc: i for i, acc in enumerate(profile_order)}
+    rows: list[tuple[tuple, str]] = []
+    for sd in shard_dirs:
+        tsv = os.path.join(sd, "products.tsv")
+        with open(tsv) as fp:
+            header = fp.readline()
+            assert header == HEADER
+            for raw in fp:
+                cols = raw.split("\t")
+                key = (rank[cols[7]], int(cols[0]), int(cols[1]),
+                       int(cols[4]))
+                rows.append((key, raw))
+        hm = os.path.join(sd, "hmmer")
+        if os.path.isdir(hm):
+            for root, _, files in os.walk(hm):
+                rel = os.path.relpath(root, sd)
+                dst = os.path.join(out_dir, rel)
+                os.makedirs(dst, exist_ok=True)
+                for f in files:
+                    shutil.copy2(os.path.join(root, f), os.path.join(dst, f))
+    rows.sort(key=lambda kv: kv[0])
+    os.makedirs(os.path.join(out_dir, "hmmer"), exist_ok=True)
+    path = os.path.join(out_dir, "products.tsv")
+    with open(path, "w") as fp:
+        fp.write(HEADER)
+        for _, raw in rows:
+            fp.write(raw)
+    return path
