@@ -7,12 +7,17 @@ amino profile, scored on device-friendly array math, with e-values from
 the profile's own STATS LOCAL FORWARD calibration line (exponential tail:
 P = exp(-lambda * (S - tau)), E = Z * P).
 
-Differences vs a live hmmpgmd (documented, affecting e-values slightly):
-the null2 biased-composition correction and domain postprocessing are not
-applied, and the amino background is the Swiss-Prot frequency set the
-reference's press stage uses (c-core/hmm_reader.c:79-103).  The wire
-client (hmmer/client.py) remains available for exact-parity confirmation
-against a real daemon.
+The null2 biased-composition correction is implemented HMMER3-style
+(p7_null2.c semantics): a full posterior decoding (Forward + Backward),
+state usages averaged over the sequence, per-residue-type expected odds
+under the posterior-weighted emission model, and the score mixed with the
+omega = 1/256 prior — so low-complexity/biased sequences no longer
+inflate e-values.  Remaining differences vs a live hmmpgmd (documented):
+no per-domain envelope definition (the correction is whole-sequence, like
+a single-envelope hit), and the amino background is the Swiss-Prot
+frequency set the reference's press stage uses
+(c-core/hmm_reader.c:79-103).  The wire client (hmmer/client.py) remains
+available for exact-parity confirmation against a real daemon.
 
 Model configuration follows HMMER3 local multihit search mode:
   * entry  B->M_k  = 2 (M - k + 1) / (M (M + 1))   (uniform fragments)
@@ -54,8 +59,10 @@ def _jit_forward(Kpad: int, Lpad: int):
     import jax
     import jax.numpy as jnp
 
-    def forward(ems, tmm, tim, tdm, tmi, tii, tmd, tdd, tbm, seq_valid,
+    def forward(ems, tmm, tim, tdm, tmi, tii, tmd, tdd, tbm, dvalid,
+                seq_valid,
                 xNN, xNB, xEJc, xJJ, xJB, xEB, xECc, xCC, xET, xCT):
+        del dvalid  # only the backward pass (_jit_posterior) needs it
         """ems: (Lpad, Kpad) match odds scores for each position; padded
         rows/cols hold _NEG.  Returns forward odds score in nats.
 
@@ -117,6 +124,121 @@ def _jit_forward(Kpad: int, Lpad: int):
     return jax.jit(forward)
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_posterior(Kpad: int, Lpad: int):
+    """Forward + Backward posterior state usages (for the null2 bias).
+
+    Returns fn(...) -> (fwd_nats, gM (Kpad,), gI_total, gNCJ_total):
+    gM[k] = sum_l P(residue l emitted by M_k | seq); gI_total and
+    gNCJ_total aggregate the insert and N/C/J loop emissions.  The three
+    totals sum to L (every residue is emitted by exactly one emitting
+    state) — asserted in tests.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def post(ems, tmm, tim, tdm, tmi, tii, tmd, tdd, tbm, dvalid, seq_valid,
+             last_pos,
+             xNN, xNB, xEJc, xJJ, xJB, xEB, xECc, xCC, xET, xCT):
+        def lse(*xs):
+            acc = xs[0]
+            for x in xs[1:]:
+                acc = jnp.logaddexp(acc, x)
+            return acc
+
+        def shift(x):  # out[k] = x[k-1]
+            return jnp.concatenate([jnp.full((1,), _NEG), x[:-1]])
+
+        def shift_back(x):  # out[k] = x[k+1]
+            return jnp.concatenate([x[1:], jnp.full((1,), _NEG)])
+
+        S_dd = jnp.cumsum(tdd)
+
+        # ---- forward, storing the emitting-state rows ----
+        def fstep(carry, inp):
+            M, I, D, N, B, E, J, C = carry
+            em, valid = inp
+            Mrow = em + lse(shift(lse(M + tmm, I + tim, D + tdm)), B + tbm)
+            Irow = lse(M + tmi, I + tii)
+            A = shift(Mrow) + tmd
+            P = jax.lax.associative_scan(jnp.logaddexp, A - S_dd)
+            Drow = P + S_dd
+            Erow = lse(jax.scipy.special.logsumexp(Mrow),
+                       jax.scipy.special.logsumexp(Drow))
+            Nrow = N + xNN
+            Jrow = lse(E + xEJc, J + xJJ)
+            Crow = lse(E + xECc, C + xCC)
+            Brow = lse(Nrow + xNB, Erow + xEB, Jrow + xJB)
+            out = (Mrow, Irow, Drow, Nrow, Brow, Erow, Jrow, Crow)
+            keep = lambda new, old: jnp.where(valid, new, old)
+            carry = tuple(keep(n, o) for n, o in zip(out, carry))
+            return carry, (carry[0], carry[1], carry[3], carry[6], carry[7])
+
+        M0 = jnp.full((Kpad,), _NEG)
+        N0 = jnp.float32(0.0)
+        carry0 = (M0, M0, M0, N0, N0 + xNB, jnp.float32(_NEG),
+                  jnp.float32(_NEG), jnp.float32(_NEG))
+        carry, (Mf, If, Nf, Jf, Cf) = jax.lax.scan(
+            fstep, carry0, (ems, seq_valid))
+        fwd = jnp.logaddexp(carry[5] + xET, carry[7] + xCT)
+
+        # ---- backward ----
+        # b-values are suffix scores AFTER emitting position l; the scan
+        # runs l = Lpad..1 with `end` firing at l == L (T reachable only
+        # there) and invalid (padded) positions passing the carry through.
+        ls = jnp.arange(1, Lpad + 1)
+
+        def bstep(carry, inp):
+            bM_n, bI_n, bN_n, bJ_n, bC_n = carry
+            em_n, l = inp  # em_n = emission row of position l+1
+            valid = l <= last_pos
+            end = jnp.where(l == last_pos, 0.0, _NEG)
+            mb = em_n + bM_n  # (Kpad,): emit l+1 at node k, then suffix
+            bB = jax.scipy.special.logsumexp(tbm + mb)
+            bJ = lse(xJB + bB, xJJ + bJ_n)
+            bC = lse(end + xCT, xCC + bC_n)
+            bE = lse(end + xET, xEB + bB, xEJc + bJ_n, xECc + bC_n)
+            # delete chain, k descending: bD[k] = lse(bE, tdm[k]+mb[k+1],
+            #                                         tdd[k+1]+bD[k+1]).
+            # Unlike the forward prefix cumsum, a suffix cumsum of tdd
+            # would fold the -1e30-scale pad sentinels into every REAL
+            # lane and annihilate the mantissa; so pad multipliers are
+            # zeroed and nonexistent D lanes are masked out of R instead.
+            c = shift_back(tdd)
+            c = jnp.where(c < -1e20, 0.0, c)
+            R = lse(jnp.full((Kpad,), bE), tdm + shift_back(mb))
+            R = jnp.where(dvalid > 0, R, _NEG)
+            Srev = jnp.cumsum(c[::-1])[::-1]
+            Prev = jax.lax.associative_scan(jnp.logaddexp, (R - Srev)[::-1])
+            bD = Prev[::-1] + Srev
+            bM = lse(jnp.full((Kpad,), bE), tmm + shift_back(mb),
+                     tmi + bI_n, shift_back(tmd + bD))
+            bI = lse(tim + shift_back(mb), tii + bI_n)
+            bN = lse(xNB + bB, xNN + bN_n)
+            out = (bM, bI, bN, bJ, bC)
+            keep = lambda new, old: jnp.where(valid, new, old)
+            carry = tuple(keep(n, o) for n, o in zip(out, carry))
+            return carry, (carry[0], carry[1], carry[2], carry[3], carry[4])
+
+        neg = jnp.full((Kpad,), _NEG)
+        bcarry0 = (neg, neg, jnp.float32(_NEG), jnp.float32(_NEG),
+                   jnp.float32(_NEG))
+        em_next = jnp.concatenate([ems[1:], jnp.full((1, Kpad), _NEG)])
+        _, (bM, bI, bN, bJ, bC) = jax.lax.scan(
+            bstep, bcarry0, (em_next, ls), reverse=True)
+
+        # ---- posterior usages ----
+        val = seq_valid[:, None]
+        gM = jnp.where(val, jnp.exp(Mf + bM - fwd), 0.0).sum(axis=0)
+        gI = jnp.where(val, jnp.exp(If + bI - fwd), 0.0).sum()
+        gN = jnp.where(seq_valid, jnp.exp(Nf + bN - fwd), 0.0).sum()
+        gJ = jnp.where(seq_valid, jnp.exp(Jf + bJ - fwd), 0.0).sum()
+        gC = jnp.where(seq_valid, jnp.exp(Cf + bC - fwd), 0.0).sum()
+        return fwd, gM, gI, gN + gJ + gC
+
+    return jax.jit(post)
+
+
 class AminoForwardScorer:
     """Forward bit scores for amino sequences vs HMMER3 profiles."""
 
@@ -158,15 +280,15 @@ class AminoForwardScorer:
             ks < K,
             np.log(2.0 * np.maximum(K - ks, 1) / (K * (K + 1.0))),
             _NEG).astype(np.float32)
-        return em, tmm, tim, tdm, tmi, tii, tmd, tdd, tbm
+        # lanes holding a real D state (k = 1..K-1), for the backward pass
+        dvalid = ((ks >= 1) & (ks < K)).astype(np.float32)
+        return em, tmm, tim, tdm, tmi, tii, tmd, tdd, tbm, dvalid
 
-    def bit_score(self, p_idx: int, amino_seq: str) -> float:
-        import jax.numpy as jnp
+    OMEGA = 1.0 / 256.0  # HMMER3 null2 prior (p7_bg.c default)
 
+    def _inputs(self, p_idx: int, amino_seq: str):
         hmm = self.hmms[p_idx]
         L = len(amino_seq)
-        if L == 0:
-            return -math.inf
         Kpad = _pad_pow2(hmm.length)
         Lpad = _pad_pow2(L)
         em, *tvecs = self._profile_arrays(p_idx, Kpad)
@@ -185,19 +307,75 @@ class AminoForwardScorer:
         valid[:L] = True
 
         x = xtrans_setup(True, False, L)
-        fwd = _jit_forward(Kpad, Lpad)(
-            jnp.asarray(ems), *[jnp.asarray(v) for v in tvecs],
-            jnp.asarray(valid),
-            *[jnp.float32(v) for v in
-              (x.NN, x.NB, x.EJ + x.JJ, x.JJ, x.JB, x.EJ + x.JB,
-               x.EC + x.CC, x.CC, x.EC + x.CT, x.CT)])
-        fwd_nats = float(fwd)
-        null_len = L * math.log(L / (L + 1.0)) + math.log(1.0 / (L + 1.0))
-        return (fwd_nats - null_len) / LN2
+        xvals = (x.NN, x.NB, x.EJ + x.JJ, x.JJ, x.JB, x.EJ + x.JB,
+                 x.EC + x.CC, x.CC, x.EC + x.CT, x.CT)
+        return em, tvecs, ems, idx, valid, xvals, Kpad, Lpad
 
-    def evalue(self, p_idx: int, amino_seq: str, Z: float = 1.0):
+    def posterior_usages(self, p_idx: int, amino_seq: str):
+        """(fwd_nats, gM (K,), gI_total, gNCJ_total) posterior residue
+        usages; gM.sum() + gI + gNCJ == len(seq) (each residue is emitted
+        by exactly one emitting state)."""
+        import jax.numpy as jnp
+
+        _, tvecs, ems, _, valid, xvals, Kpad, Lpad = self._inputs(
+            p_idx, amino_seq)
+        fwd, gM, gI, gNCJ = _jit_posterior(Kpad, Lpad)(
+            jnp.asarray(ems), *[jnp.asarray(v) for v in tvecs],
+            jnp.asarray(valid), jnp.int32(len(amino_seq)),
+            *[jnp.float32(v) for v in xvals])
+        return float(fwd), np.asarray(gM), float(gI), float(gNCJ)
+
+    def null2_bias_nats(self, p_idx: int, amino_seq: str,
+                        fwd_and_usages=None) -> float:
+        """HMMER3-style null2 bias (p7_null2.c p7_Null2_ByExpectation):
+        state usages averaged over the sequence, expected per-residue-type
+        odds under the posterior-weighted emission model, per-residue log
+        corrections summed, mixed with the omega prior
+        (p7_domaindef.c: seqbias = FLogsum(0, log(omega) + domcorrection)).
+        """
+        L = len(amino_seq)
+        if L == 0:
+            return 0.0
+        if fwd_and_usages is None:
+            fwd_and_usages = self.posterior_usages(p_idx, amino_seq)
+        _, gM, gI, gNCJ = fwd_and_usages
+        em, *_ = self._profile_arrays(p_idx, _pad_pow2(
+            self.hmms[p_idx].length))
+        odds = np.exp(np.minimum(em[:, :NUM_AMINO].astype(np.float64), 60.0))
+        r2 = (gM.astype(np.float64) @ odds + (gI + gNCJ)) / max(L, 1)
+        idx = np.array([AMINO_INDEX.get(a, NUM_AMINO) for a in amino_seq],
+                       np.int32)
+        logr2 = np.log(np.maximum(r2, 1e-300))
+        correction = float(logr2[idx[idx < NUM_AMINO]].sum())
+        return float(np.logaddexp(0.0, math.log(self.OMEGA) + correction))
+
+    def bit_score(self, p_idx: int, amino_seq: str,
+                  null2: bool = False) -> float:
+        import jax.numpy as jnp
+
+        L = len(amino_seq)
+        if L == 0:
+            return -math.inf
+        if null2:
+            usages = self.posterior_usages(p_idx, amino_seq)
+            fwd_nats = usages[0]
+            bias = self.null2_bias_nats(p_idx, amino_seq, usages)
+        else:
+            _, tvecs, ems, _, valid, xvals, Kpad, Lpad = self._inputs(
+                p_idx, amino_seq)
+            fwd = _jit_forward(Kpad, Lpad)(
+                jnp.asarray(ems), *[jnp.asarray(v) for v in tvecs],
+                jnp.asarray(valid),
+                *[jnp.float32(v) for v in xvals])
+            fwd_nats = float(fwd)
+            bias = 0.0
+        null_len = L * math.log(L / (L + 1.0)) + math.log(1.0 / (L + 1.0))
+        return (fwd_nats - null_len - bias) / LN2
+
+    def evalue(self, p_idx: int, amino_seq: str, Z: float = 1.0,
+               null2: bool = False):
         """(bit_score, log_evalue) from the FORWARD calibration line."""
-        s = self.bit_score(p_idx, amino_seq)
+        s = self.bit_score(p_idx, amino_seq, null2=null2)
         stats = self.hmms[p_idx].stats.get("FORWARD")
         if stats is None:
             raise ValueError("profile lacks STATS LOCAL FORWARD calibration")
@@ -218,11 +396,12 @@ class NativeConfirmer:
     """
 
     def __init__(self, hmms: list[HMMProfile], num_proteins: int | None = None,
-                 evalue_cutoff: float = 1e-10):
+                 evalue_cutoff: float = 1e-10, null2: bool = True):
         self.scorer = AminoForwardScorer(hmms)
         self.hmms = hmms
         self.num_proteins = num_proteins or len(hmms)
         self.evalue_cutoff = evalue_cutoff
+        self.null2 = null2
 
     def confirm(self, p_idx: int, amino_seq: str):
         from .h3result import H3Result
@@ -232,7 +411,8 @@ class NativeConfirmer:
             Z = 1.0
         else:
             Z = float(self.num_proteins)
-        score, logevalue = self.scorer.evalue(p_idx, amino_seq, Z=Z)
+        score, logevalue = self.scorer.evalue(p_idx, amino_seq, Z=Z,
+                                              null2=self.null2)
 
         if hmm.has_ga:
             if score < hmm.ga[0]:

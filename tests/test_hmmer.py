@@ -138,6 +138,46 @@ def test_minifam_consensus_scores_high():
         assert cross < score
 
 
+def test_posterior_usages_sum_to_sequence_length():
+    """Every residue is emitted by exactly one emitting state, so the
+    posterior usages must total L; the posterior pass's forward score
+    must equal the plain forward pass."""
+    hmm = tiny_hmm(4, 3)
+    scorer = AminoForwardScorer([hmm])
+    amino = "ACDKLMNPWY"
+    fwd, gM, gI, gNCJ = scorer.posterior_usages(0, amino)
+    total = gM.sum() + gI + gNCJ
+    np.testing.assert_allclose(total, len(amino), rtol=1e-4)
+    plain_bits = scorer.bit_score(0, amino)
+    L = len(amino)
+    null_len = L * math.log(L / (L + 1.0)) + math.log(1.0 / (L + 1.0))
+    np.testing.assert_allclose((fwd - null_len) / LN2, plain_bits,
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_null2_bias_penalizes_low_complexity():
+    """HMMER3 null2 semantics: biased-composition sequences get a positive
+    bias that lowers the bit score; the bias never goes negative
+    (seqbias = logsum(0, log omega + correction) >= 0)."""
+    hmms = read_hmm(MINIFAM)
+    scorer = AminoForwardScorer(hmms)
+    cons = hmms[0].consensus.upper()
+    # low-complexity: the consensus' most common residue, repeated
+    most = max(set(cons), key=cons.count)
+    biased = most * len(cons)
+    bias_biased = scorer.null2_bias_nats(0, biased)
+    bias_cons = scorer.null2_bias_nats(0, cons)
+    assert bias_biased >= 0.0 and bias_cons >= 0.0
+    assert bias_biased > bias_cons + 1.0, (bias_biased, bias_cons)
+    # corrected score drops for the biased sequence
+    assert (scorer.bit_score(0, biased, null2=True)
+            < scorer.bit_score(0, biased, null2=False) - 0.5)
+    # ... but barely moves for the true consensus
+    drop = (scorer.bit_score(0, cons, null2=False)
+            - scorer.bit_score(0, cons, null2=True))
+    assert 0.0 <= drop < 5.0, drop
+
+
 def test_native_confirmer_policy():
     hmms = read_hmm(MINIFAM)
     conf = NativeConfirmer(hmms)
