@@ -97,24 +97,30 @@ def bench_kernel(args) -> dict:
     lens_d = jnp.asarray(np.tile(lens, (P, 1, 1)))
     ck_d = jnp.asarray(np.tile(ck, (P, 1, 1, 1, 1)))
 
-    def run():
+    def dispatch():
         if hbm:
-            alt, nul = vp.viterbi_scores_pairs_hbm(
+            return vp.viterbi_scores_pairs_hbm(
                 pidx, tables, tvecs, xts_d, lens_d, ck_d, kappa=kappa)
-        else:
-            alt, nul = vp.viterbi_scores_pairs(
-                pidx, tables, tvecs, xts_d, lens_d, ck_d, kappa=kappa,
-                mode=mode, prefetch=prefetch)
-        jax.block_until_ready((alt, nul))
-        return alt, nul
+        return vp.viterbi_scores_pairs(
+            pidx, tables, tvecs, xts_d, lens_d, ck_d, kappa=kappa,
+            mode=mode, prefetch=prefetch)
 
-    run()  # warmup / compile
-    times = []
+    # Warmup, then dispatch all iterations and sync ONCE on the last
+    # output via a host transfer.  Rationale: block_until_ready (either
+    # form) is unreliable under the tunneled TPU platform (returns
+    # dispatch-only timings), np.asarray must wait for real data, and a
+    # per-iteration fetch would pay the tunnel round trip every time;
+    # the device queue is FIFO, so the last result arriving bounds all
+    # iterations' execution.
+    a, n = dispatch()
+    float(np.asarray(a).sum() + np.asarray(n).sum())
+    outs = []
+    t0 = time.perf_counter()
     for _ in range(args.iters):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        outs.append(dispatch())
+    alt, nul = outs[-1]
+    float(np.asarray(alt).sum() + np.asarray(nul).sum())
+    dt = (time.perf_counter() - t0) / args.iters
     cells = P * B * L * 5 * K
     return {"gcups": cells / dt / 1e9, "dt_ms": dt * 1e3, "cells": cells,
             "P": P, "K": K, "B": B, "L": L, "w": w}
@@ -200,11 +206,34 @@ def bench_scan(args) -> dict:
     }
 
 
+def _run_child(mode: str, argv: list[str], timeout_s: float) -> dict | None:
+    """One measurement in a subprocess, retried once: the tunneled TPU
+    runtime sporadically deadlocks mid-RPC (observed on otherwise-passing
+    workloads), and a hung in-process measurement would take the whole
+    bench down with it."""
+    import os
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           "--mode", mode] + argv
+    for _ in range(2):
+        try:
+            r = subprocess.run(cmd, capture_output=True, timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            continue
+        if r.returncode == 0:
+            for line in r.stdout.decode().splitlines():
+                if line.startswith("{"):
+                    return json.loads(line)
+        sys.stderr.write(r.stderr.decode()[-1500:])
+    return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--profiles", type=int, default=8)
     ap.add_argument("--core-size", type=int, default=400)
-    ap.add_argument("--windows", type=int, default=64)
+    ap.add_argument("--windows", type=int, default=128)
     ap.add_argument("--length", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--engine", choices=["pallas", "jax"], default="pallas")
@@ -214,7 +243,39 @@ def main() -> None:
     ap.add_argument("--read-len", type=int, default=15000)
     ap.add_argument("--scan-profiles", type=int, default=8)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--child", action="store_true")
     args = ap.parse_args()
+
+    if args.mode == "all" and not args.child:
+        # Parent orchestrator: one subprocess per measurement.
+        argv = []
+        if args.quick:
+            argv.append("--quick")
+        baseline = measured_cpu_baseline()
+        baseline_src = "native-cpp"
+        if baseline is None:
+            baseline, baseline_src = CPU_BASELINE_GCUPS_FALLBACK, "estimate"
+        extra = {"baseline_gcups": round(baseline, 3),
+                 "baseline_src": baseline_src}
+        kr = _run_child("kernel", argv, 1500)
+        sr = _run_child("scan", argv, 1500)
+        if kr:
+            extra["kernel"] = kr["extra"]["kernel"]
+        if sr:
+            extra["scan"] = sr["extra"]["scan"]
+        if kr:
+            value, unit, metric = (extra["kernel"]["gcups"], "GCUPS/chip",
+                                   "viterbi_gcups")
+        elif sr:
+            value, unit, metric = (extra["scan"]["reads_per_s"], "reads/s",
+                                   "scan_reads_per_s")
+        else:
+            raise SystemExit("both bench children failed")
+        print(json.dumps({
+            "metric": metric, "value": round(value, 3), "unit": unit,
+            "vs_baseline": round(value / baseline, 3), "extra": extra,
+        }))
+        return
     if args.quick:
         args.profiles, args.core_size = 2, 64
         args.windows, args.length, args.iters = 8, 512, 2

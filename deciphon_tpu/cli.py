@@ -88,8 +88,11 @@ def press(hmmfile, gencode, epsilon, output, progress):
               help="E-value confirmation: 'native' runs the built-in amino "
                    "Forward scorer (needs the paired .hmm next to the .dcp).")
 @click.option("--progress/--no-progress", default=True)
+@click.option("--profile-dir", type=click.Path(file_okay=False), default=None,
+              help="Capture a JAX/XLA profiler trace of the scan into this "
+                   "directory (view with TensorBoard or Perfetto).")
 def scan(dbfile, seqfile, snap, multi_hits, hmmer3_compat, engine,
-         hmmer_port, confirm_mode, progress):
+         hmmer_port, confirm_mode, progress, profile_dir):
     """Scan sequences against a pressed database; write a .dcs snap."""
     from .io.dcp import read_dcp_profiles
     from .scan.fasta_io import read_sequences
@@ -133,11 +136,24 @@ def scan(dbfile, seqfile, snap, multi_hits, hmmer3_compat, engine,
         workdir, os.path.splitext(os.path.basename(str(snap)))[0])
     os.makedirs(basedir)
     try:
-        scanner.run(sequences, basedir)
+        if profile_dir:
+            import contextlib
+
+            import jax
+
+            trace = jax.profiler.trace(profile_dir)
+        else:
+            import contextlib
+
+            trace = contextlib.nullcontext()
+        with trace:
+            scanner.run(sequences, basedir)
         make_snap_archive(basedir, str(snap))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     click.echo(f"wrote {snap}")
+    if profile_dir:
+        click.echo(f"profiler trace in {profile_dir}")
 
 
 @cli.command()

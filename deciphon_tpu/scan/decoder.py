@@ -75,6 +75,48 @@ class Decoder:
         zi = self.decode(sid, frag_code)
         return codon_symbols(zi), self.gencode.decode(zi)
 
+    def decode_batch(self, sids, frag_codes) -> list[tuple[str, str]]:
+        """Vectorized decode of many steps at once (one hit's emitting
+        steps): identical results to decode_codon_amino per step, without
+        the per-step table-slicing overhead."""
+        B = len(sids)
+        if B == 0:
+            return []
+        fcs = np.asarray(frag_codes, np.int64)
+        codons = np.empty((B, 64), np.float64)
+        q = np.empty((B, 4), np.float64)
+        for i, sid in enumerate(sids):
+            codons[i], q[i] = self._dist_for(sid)
+        cond = self._cond_scores_batch(fcs, q)  # (B, 64)
+        joint = codons + cond
+        zis = np.argmax(joint, axis=1)
+        best = joint[np.arange(B), zis]
+        if not np.isfinite(best).all():
+            bad = int(np.argmin(np.isfinite(best)))
+            raise ValueError(
+                f"cannot decode fragment code {frag_codes[bad]} in state "
+                f"{sids[bad]}")
+        return [(codon_symbols(int(z)), self.gencode.decode(int(z)))
+                for z in zis]
+
+    def _cond_scores_batch(self, fcs: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """log p(F | z) for all 64 codons, one row per fragment."""
+        di_class, pat, ins0, ins1, match = _static_tables()
+        cls = di_class[fcs]  # (B, T)
+        valid = cls >= 0
+        consts = np.where(valid, self._consts[np.maximum(cls, 0)], -np.inf)
+        qx = np.concatenate([q, np.zeros((len(fcs), 1))], axis=1)  # (B, 5)
+        ins_term = (np.take_along_axis(qx, ins0[fcs], 1)
+                    + np.take_along_axis(qx, ins1[fcs], 1))  # (B, T)
+        terms = (consts[:, :, None] + match[pat[fcs]]
+                 + ins_term[:, :, None])  # (B, T, 64)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            m = terms.max(axis=1)  # (B, 64)
+            safe = np.where(np.isfinite(m), m, 0.0)
+            out = (np.log(np.exp(terms - safe[:, None, :]).sum(axis=1))
+                   + safe)
+            return np.where(np.isfinite(m), out, -np.inf)
+
     def _cond_scores(self, frag_code: int, q: np.ndarray) -> np.ndarray:
         """log p(F | z) for all 64 codons, one fragment."""
         di_class, pat, ins0, ins1, match = _static_tables()

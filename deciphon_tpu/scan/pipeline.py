@@ -235,7 +235,7 @@ class Scanner:
         for it, _ in survivors:
             groups.setdefault((it.p_idx, _pad_len(it.win.length)),
                               []).append(it)
-        out: dict[int, tuple] = {}
+        inflight = []
         for (p_idx, Lpad), items in groups.items():
             costs = self.costs[p_idx]
             K = self.profiles[p_idx].core_size
@@ -255,10 +255,13 @@ class Scanner:
                 _, xn, nd = viterbi_path_batch(
                     *dev, jnp.asarray(xts), jnp.asarray(codes),
                     jnp.asarray(lengths))
-                xn = np.asarray(xn)
-                nd = np.asarray(nd)
-                for b, it in enumerate(sub):
-                    out[id(it)] = (xn[b], nd[b])
+                inflight.append((sub, xn, nd))  # collect after dispatch
+        out: dict[int, tuple] = {}
+        for sub, xn, nd in inflight:
+            xn = np.asarray(xn)
+            nd = np.asarray(nd)
+            for b, it in enumerate(sub):
+                out[id(it)] = (xn[b], nd[b])
         return out
 
     def _phase2(self, it: PairItem, seq: Sequence, line_lrt: float,
@@ -284,6 +287,9 @@ class Scanner:
         aminos: list[str] = []
         pos = sum(sz for _, sz in path[:begin])
 
+        emit_idx: list[int] = []
+        emit_sids: list[int] = []
+        emit_fcs: list[int] = []
         for sid, size in path[begin:end]:
             frag = window_syms[pos:pos + size]
             if st.is_mute(sid) or size == 0:
@@ -292,10 +298,16 @@ class Scanner:
                 fc = frag_code(tuple(
                     "ACGT".index(ch) if ch in "ACGT" else 3
                     for ch in frag))
-                codon, amino = decoder.decode_codon_amino(sid, fc)
-                steps.append(MatchStep(frag, st.state_name(sid), codon, amino))
-                aminos.append(amino)
+                emit_idx.append(len(steps))
+                emit_sids.append(sid)
+                emit_fcs.append(fc)
+                steps.append(MatchStep(frag, st.state_name(sid), "", ""))
             pos += size
+        for i, (codon, amino) in zip(
+                emit_idx, decoder.decode_batch(emit_sids, emit_fcs)):
+            steps[i].codon = codon
+            steps[i].amino = amino
+            aminos.append(amino)
 
         line = ProductLine(
             sequence=seq.id, window=win.idx, window_start=win.start,

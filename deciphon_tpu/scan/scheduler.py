@@ -89,10 +89,13 @@ def bucket_arrays(bucket: _Bucket, kappa: int, mode: str = "raw",
                   w: int = W):
     """Assemble padded kernel inputs for one bucket.
 
-    Returns (pidx (N,), xts (N,w,16), lens (N,w,1), codes (N,NLB,kappa,5,w))
-    with N = next_pow2(len(groups)); pad pairs have length 0 everywhere.
+    Returns (pidx (N,), xts (N,w,16), lens (N,w,1),
+    ck (N,NLB,kappa,5,w) | None, codes (N,w,Lk,5) | None) with
+    N = next_pow2(len(groups)); pad pairs have length 0 everywhere.
     `mode` selects the kernel's host-side code permutation; "raw" (the
-    lax.scan scorer) skips it entirely.
+    lax.scan scorer) builds only the duration-major `codes`, the kernel
+    modes build only `ck` — each is one allocation filled in its final
+    layout (packing is a measured hot spot of the steady-state scan).
     """
     n = len(bucket.groups)
     N = next_pow2(max(1, n))
@@ -102,21 +105,38 @@ def bucket_arrays(bucket: _Bucket, kappa: int, mode: str = "raw",
     pidx = np.zeros((N,), np.int32)
     xts = np.zeros((N, w, 16), np.float32)
     lens = np.zeros((N, w, 1), np.int32)
-    codes = np.zeros((N, w, Lk, 5), np.int32)
     for gi, g in enumerate(bucket.groups):
         pidx[gi] = g[0].p_idx
         for wi, it in enumerate(g):
-            L = it.win.length
             xts[gi, wi, :13] = it.xt
-            lens[gi, wi, 0] = L
-            codes[gi, wi, :L] = it.codes
+            lens[gi, wi, 0] = it.win.length
+
+    if mode == "raw":
+        codes = np.zeros((N, w, Lk, 5), np.int32)
+        for gi, g in enumerate(bucket.groups):
+            for wi, it in enumerate(g):
+                codes[gi, wi, : it.win.length] = it.codes
+        return pidx, xts, lens, None, codes
+
+    ck = np.zeros((N, NLB, kappa, 5, w), np.int32)
+    vt = ck.reshape(N, Lk, 5, w)
+    if mode == "pending":
+        # start-indexed in place: vt[l, t0] = end-codes[l + t0, t0]
+        for gi, g in enumerate(bucket.groups):
+            for wi, it in enumerate(g):
+                L = it.win.length
+                for t0 in range(5):
+                    vt[gi, : L - t0, t0, wi] = it.codes[t0:, t0]
+        return pidx, xts, lens, ck, None
+
     from ..ops import viterbi_pallas as vp
 
-    c = vp.relayout_codes(codes.reshape(N * w, Lk, 5), mode)
-    c = c.reshape(N, w, Lk, 5)
-    # (N, w, Lk, 5) -> (N, NLB, kappa, 5, w)
-    ck = c.reshape(N, w, NLB, kappa, 5).transpose(0, 2, 3, 4, 1)
-    return pidx, xts, lens, np.ascontiguousarray(ck), codes
+    for gi, g in enumerate(bucket.groups):
+        for wi, it in enumerate(g):
+            c = np.zeros((Lk, 5), np.int32)
+            c[: it.win.length] = it.codes
+            vt[gi, :, :, wi] = vp.relayout_codes(c[None], mode)[0]
+    return pidx, xts, lens, ck, None
 
 
 class PairScorer:
@@ -143,8 +163,9 @@ class PairScorer:
         self.tvecs = jnp.asarray(np.stack([v for _, v in pairs]))
         self.interpret = interpret
 
-    def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
-        """Returns {id(item) -> (null_cost, alt_cost)}."""
+    def dispatch(self, items: list[PairItem]) -> list:
+        """Enqueue all bucket kernel calls without blocking (device work
+        overlaps host packing of subsequent buckets)."""
         import jax.numpy as jnp
 
         # Effective group width: don't pad tiny workloads up to the full
@@ -156,7 +177,7 @@ class PairScorer:
             per_profile[it.p_idx] = per_profile.get(it.p_idx, 0) + 1
         w_eff = max(8, min(self.w, next_pow2(max(per_profile.values()))))
 
-        results: dict[int, tuple[float, float]] = {}
+        inflight = []
         for bucket in build_batches(items, self.kappa, w=w_eff):
             pidx, xts, lens, ck, _ = bucket_arrays(bucket, self.kappa,
                                                    mode=self.mode, w=w_eff)
@@ -171,12 +192,23 @@ class PairScorer:
                     jnp.asarray(xts), jnp.asarray(lens), jnp.asarray(ck),
                     kappa=self.kappa, interpret=self.interpret,
                     mode=self.mode, prefetch=self.prefetch)
+            inflight.append((bucket, alt, nul))
+        return inflight
+
+    @staticmethod
+    def collect(inflight) -> dict[int, tuple[float, float]]:
+        results: dict[int, tuple[float, float]] = {}
+        for bucket, alt, nul in inflight:
             alt = np.asarray(alt)
             nul = np.asarray(nul)
             for gi, g in enumerate(bucket.groups):
                 for wi, it in enumerate(g):
                     results[id(it)] = (float(nul[gi, wi]), float(alt[gi, wi]))
         return results
+
+    def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
+        """Returns {id(item) -> (null_cost, alt_cost)}."""
+        return self.collect(self.dispatch(items))
 
 
 class BucketedPairScorer:
@@ -258,8 +290,22 @@ class BucketedPairScorer:
             by_scorer.setdefault(si, []).append(it)
         results: dict[int, tuple[float, float]] = {}
         try:
+            # Dispatch every scorer's device work before collecting any
+            # result: one sync wave instead of one blocking round trip
+            # per bucket (the analog of the reference keeping all OpenMP
+            # threads busy before the merge, c-core/scan.c:188).
+            pending = []
             for si, group in by_scorer.items():
-                results.update(self.scorers[si].score(group))
+                scorer = self.scorers[si]
+                if hasattr(scorer, "dispatch"):
+                    pending.append((scorer, scorer.dispatch(group), None))
+                else:
+                    pending.append((scorer, None, group))
+            for scorer, inflight, group in pending:
+                if inflight is not None:
+                    results.update(scorer.collect(inflight))
+                else:
+                    results.update(scorer.score(group))
         finally:
             for it in items:  # restore global indices
                 it.p_idx = remap[id(it)]
