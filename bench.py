@@ -87,7 +87,8 @@ def bench_kernel(args) -> dict:
     if hbm:
         w = 8
         while w * 2 <= min(128, B,
-                           BucketedPairScorer.HBM_STATE_BUDGET // (92 * Kp)):
+                           BucketedPairScorer.HBM_STATE_BUDGET //
+                           (vp.HBM_STATE_BYTES_PER_LANE * Kp)):
             w *= 2
     xts, lens, ck = vp.pack_windows(xt, codes, lengths, kappa=kappa,
                                     mode=mode, w=w)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import logging
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 __all__ = ["get_logger", "ScanMetrics"]
@@ -34,7 +35,13 @@ def get_logger(name: str = "deciphon_tpu") -> logging.Logger:
 
 @dataclass
 class ScanMetrics:
-    """Throughput accounting for one scan run."""
+    """Throughput accounting for one scan run.
+
+    Beyond the reference-parity counters, `walls` breaks the wall clock
+    into pipeline phases (pack / dispatch / collect / phase2_* / decode /
+    write) — the per-phase observability SURVEY §5 names a greenfield
+    obligation, and the instrument that localizes host-vs-device time in
+    the end-to-end scan."""
 
     windows_scored: int = 0
     cells: int = 0  # L * 5 * K per scored (profile, window)
@@ -42,10 +49,22 @@ class ScanMetrics:
     survivors: int = 0
     products: int = 0
     started: float = field(default_factory=time.perf_counter)
+    walls: dict = field(default_factory=dict)
 
     def add_window(self, length: int, core_size: int) -> None:
         self.windows_scored += 1
         self.cells += length * 5 * core_size
+
+    def add_wall(self, phase: str, dt: float) -> None:
+        self.walls[phase] = self.walls.get(phase, 0.0) + dt
+
+    @contextmanager
+    def timed(self, phase: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.add_wall(phase, time.perf_counter() - t0)
 
     @property
     def elapsed(self) -> float:
@@ -65,4 +84,5 @@ class ScanMetrics:
             "products": self.products,
             "elapsed_s": round(self.elapsed, 3),
             "gcups": round(self.gcups, 3),
+            "walls": {k: round(v, 4) for k, v in sorted(self.walls.items())},
         }

@@ -65,17 +65,26 @@ def init_multihost(coordinator_address: str, num_processes: int,
 
 def _global_counters(local: dict[str, float],
                      num_processes: int) -> dict[str, float]:
-    """Sum scalar metrics across processes over the collective fabric."""
+    """Sum scalar metrics across processes over the collective fabric.
+
+    Counters are integers that overflow f32 exactness (cells > 2^24 on any
+    real scan) and JAX runs x64-disabled by default, so each value crosses
+    the wire as an exact (hi, lo) 24-bit split in f32 and is reassembled
+    and summed host-side in int64."""
     if num_processes <= 1:
         return dict(local)
     import jax.numpy as jnp
+    import numpy as np
     from jax.experimental import multihost_utils
 
     keys = sorted(local)
-    vec = jnp.asarray([float(local[k]) for k in keys], jnp.float64)
-    gathered = multihost_utils.process_allgather(vec)
-    total = gathered.sum(axis=0)
-    return {k: float(total[i]) for i, k in enumerate(keys)}
+    vals = np.asarray([int(local[k]) for k in keys], np.int64)
+    hi_lo = np.stack([vals >> 24, vals & 0xFFFFFF], axis=1)
+    gathered = multihost_utils.process_allgather(
+        jnp.asarray(hi_lo, jnp.float32))  # (P, nkeys, 2), each exact
+    g = np.asarray(gathered, np.int64)
+    total = ((g[..., 0] << 24) + g[..., 1]).sum(axis=0)
+    return {k: int(total[i]) for i, k in enumerate(keys)}
 
 
 def run_sharded_scan(profiles, sequences, shared_dir: str, *,

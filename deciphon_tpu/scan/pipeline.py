@@ -23,6 +23,7 @@ reference's thread-count-invariance contract
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -106,6 +107,7 @@ class Scanner:
         self.progress_total = 0
         self.metrics = None  # set per run()
         self._checkpoint = False
+        self._dev_codes = None  # set per run()
 
     # ------------------------------------------------------------------
     class Interrupted(RuntimeError):
@@ -125,6 +127,20 @@ class Scanner:
             if done_pairs:
                 log.info("resuming scan: %d pairs already complete",
                          len(done_pairs))
+        # Scan-resident device codes: one upload per run, rounds then ship
+        # only window metadata (the round-2 steady state was dominated by
+        # re-packing and re-uploading code blocks every round).
+        self._dev_codes = None
+        if hasattr(self.scorer, "set_device_codes"):
+            with self.metrics.timed("seq_upload"):
+                from .scheduler import DeviceSeqCodes
+
+                self._dev_codes = DeviceSeqCodes(sequences)
+                self.scorer.set_device_codes(self._dev_codes)
+        if hasattr(self.scorer, "set_metrics"):
+            self.scorer.set_metrics(self.metrics)
+        elif hasattr(self.scorer, "metrics"):
+            self.scorer.metrics = self.metrics
         P, S = len(self.profiles), len(sequences)
         self.progress_total = max(P * S, 1)
         self.progress_done = 0
@@ -170,36 +186,40 @@ class Scanner:
             # profile and padded length): survivor-heavy scans pay one
             # vmapped path pass per group, not one dispatch per survivor.
             trellises = self._batched_paths(survivors)
-            for it, line_lrt in survivors:
-                self._phase2(it, sequences[it.s_idx], line_lrt,
-                             cursors[(it.p_idx, it.s_idx)], writer,
-                             trellises[id(it)])
-            nxt: list[PairItem] = []
-            for it in batch:
-                item = self._next_item(it.p_idx, it.s_idx,
-                                       cursors[(it.p_idx, it.s_idx)],
-                                       sequences)
-                if item is not None:
-                    nxt.append(item)
-                else:
-                    self.progress_done += 1
-                    if self._checkpoint:
-                        writer.journal_pair_done(it.p_idx, it.s_idx)
+            with self.metrics.timed("phase2_decode"):
+                for it, line_lrt in survivors:
+                    self._phase2(it, sequences[it.s_idx], line_lrt,
+                                 cursors[(it.p_idx, it.s_idx)], writer,
+                                 trellises[id(it)])
+            with self.metrics.timed("windowing"):
+                nxt: list[PairItem] = []
+                for it in batch:
+                    item = self._next_item(it.p_idx, it.s_idx,
+                                           cursors[(it.p_idx, it.s_idx)],
+                                           sequences)
+                    if item is not None:
+                        nxt.append(item)
+                    else:
+                        self.progress_done += 1
+                        if self._checkpoint:
+                            writer.journal_pair_done(it.p_idx, it.s_idx)
             pending = rest + nxt
 
-        writer.sort_lines()
-        self.metrics.products = len(writer.lines)
-        log.info("scan done: %s", self.metrics.summary())
-        return writer.close()
+        with self.metrics.timed("write"):
+            writer.sort_lines()
+            self.metrics.products = len(writer.lines)
+            log.info("scan done: %s", self.metrics.summary())
+            return writer.close()
 
     def _next_item(self, p: int, s: int, cur: WindowCursor,
                    sequences) -> PairItem | None:
         win = cur.next()
         if win is None:
             return None
+        dev = self._dev_codes
         return PairItem(
-            p_idx=p, s_idx=s, win=win,
-            codes=sequences[s].window_codes(win.start, win.stop),
+            p_idx=p, s_idx=s, win=win, seq=sequences[s],
+            gstart=dev.gstart(s, win.start) if dev is not None else -1,
             multi_hits=self.config.multi_hits,
             hmmer3_compat=self.config.hmmer3_compat,
         )
@@ -231,11 +251,26 @@ class Scanner:
         """
         from ..ops.viterbi_jax import viterbi_path_batch
 
+        m = self.metrics
+
         groups: dict[tuple[int, int], list[PairItem]] = {}
         for it, _ in survivors:
             groups.setdefault((it.p_idx, _pad_len(it.win.length)),
                               []).append(it)
-        inflight = []
+        out: dict[int, tuple] = {}
+        inflight: list[tuple] = []
+        inflight_bytes = 0
+
+        def collect_one(entry):
+            sub, xn, nd, _ = entry
+            t0 = time.perf_counter()
+            xn = np.asarray(xn)
+            nd = np.asarray(nd)
+            if m is not None:
+                m.add_wall("phase2_collect", time.perf_counter() - t0)
+            for b, it in enumerate(sub):
+                out[id(it)] = (xn[b], nd[b])
+
         for (p_idx, Lpad), items in groups.items():
             costs = self.costs[p_idx]
             K = self.profiles[p_idx].core_size
@@ -245,6 +280,7 @@ class Scanner:
                    jnp.asarray(costs.null), jnp.asarray(costs.background))
             for i0 in range(0, len(items), chunk):
                 sub = items[i0:i0 + chunk]
+                t0 = time.perf_counter()
                 codes = np.zeros((len(sub), Lpad, 5), np.int32)
                 xts = np.zeros((len(sub), 13), np.float32)
                 lengths = np.zeros((len(sub),), np.int32)
@@ -255,13 +291,22 @@ class Scanner:
                 _, xn, nd = viterbi_path_batch(
                     *dev, jnp.asarray(xts), jnp.asarray(codes),
                     jnp.asarray(lengths))
-                inflight.append((sub, xn, nd))  # collect after dispatch
-        out: dict[int, tuple] = {}
-        for sub, xn, nd in inflight:
-            xn = np.asarray(xn)
-            nd = np.asarray(nd)
-            for b, it in enumerate(sub):
-                out[id(it)] = (xn[b], nd[b])
+                if m is not None:
+                    m.add_wall("phase2_path", time.perf_counter() - t0)
+                # collect after dispatch, but bound the aggregate
+                # in-flight trellis bytes: a survivor-heavy round would
+                # otherwise queue every group's buffers at once and OOM
+                # the device despite the per-call chunking.
+                nbytes = len(sub) * per
+                inflight.append((sub, xn, nd, nbytes))
+                inflight_bytes += nbytes
+                while (inflight_bytes > self.PATH_BATCH_BYTES
+                       and len(inflight) > 1):
+                    old = inflight.pop(0)
+                    collect_one(old)
+                    inflight_bytes -= old[3]
+        for entry in inflight:
+            collect_one(entry)
         return out
 
     def _phase2(self, it: PairItem, seq: Sequence, line_lrt: float,

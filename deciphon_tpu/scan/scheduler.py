@@ -17,6 +17,7 @@ of profiles and sequences.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -35,21 +36,103 @@ def next_pow2(n: int) -> int:
     return p
 
 
-@dataclass
-class PairItem:
-    """One scheduled window with its origin coordinates."""
+# Geometric ladder for padded l-block counts: ratio ~1.25 bounds padding
+# waste at 25% (power-of-two padding wasted up to 2x compute on long
+# windows) while keeping the compiled-shape space small — 37 rungs cover
+# NLB 1..4200 (window cap 100 knt / kappa 40 = 2500 blocks).
+_NLB_LADDER: list[int] = []
+_v = 1.0
+while _v <= 4200:
+    r = int(-(-_v // 1))
+    if not _NLB_LADDER or r > _NLB_LADDER[-1]:
+        _NLB_LADDER.append(r)
+    _v *= 1.25
 
-    p_idx: int  # profile index within the pack
-    s_idx: int  # sequence index
-    win: Window
-    codes: np.ndarray  # (len, 5) int32 fragment codes
-    multi_hits: bool
-    hmmer3_compat: bool
+
+def quantize_nlb(n: int) -> int:
+    """Smallest ladder rung >= n."""
+    for r in _NLB_LADDER:
+        if r >= n:
+            return r
+    return n
+
+
+class PairItem:
+    """One scheduled window with its origin coordinates.
+
+    `codes` (the (len, 5) END-indexed window fragment codes) is computed
+    lazily from the origin sequence: the device-resident scoring path
+    never touches it (it slices the scan-global code array by `gstart`),
+    so only LRT survivors and host-side engines pay the O(L) precompute.
+    """
+
+    __slots__ = ("p_idx", "s_idx", "win", "multi_hits", "hmmer3_compat",
+                 "seq", "gstart", "_codes")
+
+    def __init__(self, p_idx: int, s_idx: int, win: Window,
+                 multi_hits: bool, hmmer3_compat: bool,
+                 codes: np.ndarray | None = None, seq=None,
+                 gstart: int = -1):
+        self.p_idx = p_idx
+        self.s_idx = s_idx
+        self.win = win
+        self.multi_hits = multi_hits
+        self.hmmer3_compat = hmmer3_compat
+        self.seq = seq
+        self.gstart = gstart
+        self._codes = codes
+
+    @property
+    def codes(self) -> np.ndarray:
+        if self._codes is None:
+            self._codes = self.seq.window_codes(self.win.start, self.win.stop)
+        return self._codes
 
     @property
     def xt(self) -> np.ndarray:
         return xtrans_cost_vector(self.multi_hits, self.hmmer3_compat,
                                   self.win.length)
+
+
+class DeviceSeqCodes:
+    """Scan-resident START-indexed fragment codes, uploaded once per scan.
+
+    Concatenates every sequence's start-indexed codes (row p = codes of
+    the 5 fragments starting at global position p) into one (Tpad, 5)
+    int32 device array.  Scoring rounds then ship only (N, W) int32 start
+    offsets; the kernel jit gathers each window's rows on device
+    (ops/viterbi_pallas.py _ck_from_starts).  Fragments that cross a
+    sequence boundary are only ever read for DP positions past the
+    window end, which the kernel never captures, so concatenation is
+    safe without separators.
+    """
+
+    ROW_QUANTUM = 1 << 16  # pad T to quantized shapes: bounded jit keys
+
+    def __init__(self, sequences):
+        import jax.numpy as jnp
+
+        from ..ops.viterbi_pallas import start_codes
+
+        self.offsets: list[int] = []
+        total = 0
+        parts = []
+        for s in sequences:
+            self.offsets.append(total)
+            parts.append(start_codes(s.codes))
+            total += s.size
+        tpad = -(-max(total, 1) // self.ROW_QUANTUM) * self.ROW_QUANTUM
+        host = np.zeros((tpad, 5), np.int32)
+        if parts:
+            host[:total] = np.concatenate(parts, axis=0)
+        self.total = total
+        self.dev = jnp.asarray(host)
+        # pad slots point past every real row; the gather clip keeps the
+        # read in bounds and `length == 0` keeps the result uncaptured
+        self.pad_start = tpad - 1
+
+    def gstart(self, s_idx: int, win_start: int) -> int:
+        return self.offsets[s_idx] + win_start
 
 
 @dataclass
@@ -58,8 +141,15 @@ class _Bucket:
     groups: list[list[PairItem]]
 
 
+# Groups per kernel call: full chunks use this fixed leading dim (one
+# compiled program covers most of the work), the remainder pads to a
+# power of two (few small shapes) — the compiled-shape budget that keeps
+# the cold wall bounded.
+NCHUNK = 64
+
+
 def build_batches(items: list[PairItem], kappa: int,
-                  max_pairs: int = 256, w: int = W) -> list[_Bucket]:
+                  max_pairs: int = NCHUNK, w: int = W) -> list[_Bucket]:
     """Group items by profile into w-slots; bucket groups by padded NLB."""
     by_profile: dict[int, list[PairItem]] = {}
     for it in items:
@@ -74,7 +164,7 @@ def build_batches(items: list[PairItem], kappa: int,
     buckets: dict[int, _Bucket] = {}
     for g in groups:
         lmax = max(it.win.length for it in g)
-        nlb = next_pow2(max(1, -(-lmax // kappa)))
+        nlb = quantize_nlb(max(1, -(-lmax // kappa)))
         b = buckets.setdefault(nlb, _Bucket(nlb=nlb, groups=[]))
         b.groups.append(g)
 
@@ -139,8 +229,42 @@ def bucket_arrays(bucket: _Bucket, kappa: int, mode: str = "raw",
     return pidx, xts, lens, ck, None
 
 
+def bucket_arrays_meta(bucket: _Bucket, w: int, dev_codes: DeviceSeqCodes):
+    """Metadata-only bucket assembly for the device-side packing path.
+
+    Returns (pidx (N,), xts (N,w,16), lens (N,w,1), starts (N,w)) — a few
+    KB per round instead of the materialized code blocks, which the
+    fused kernel jit gathers on device from `dev_codes`."""
+    n = len(bucket.groups)
+    N = next_pow2(max(1, n))
+    pidx = np.zeros((N,), np.int32)
+    xts = np.zeros((N, w, 16), np.float32)
+    lens = np.zeros((N, w, 1), np.int32)
+    starts = np.full((N, w), dev_codes.pad_start, np.int32)
+    for gi, g in enumerate(bucket.groups):
+        pidx[gi] = g[0].p_idx
+        for wi, it in enumerate(g):
+            xts[gi, wi, :13] = it.xt
+            lens[gi, wi, 0] = it.win.length
+            starts[gi, wi] = it.gstart
+    return pidx, xts, lens, starts
+
+
 class PairScorer:
-    """Scores scheduled pairs with the Pallas kernel (or interpret mode)."""
+    """Scores scheduled pairs with the Pallas kernel (or interpret mode).
+
+    Two packing paths share the kernel: the host path materializes code
+    blocks per bucket (`bucket_arrays`), the device path ships only
+    window start offsets against a scan-resident code array
+    (`set_device_codes` + `bucket_arrays_meta`) — the steady-state
+    production path, which cuts per-round host->device traffic from
+    megabytes of codes to kilobytes of metadata."""
+
+    # Cap on device bytes materialized by in-flight dispatches (the
+    # gathered (N, NLB, kappa, 5, w) blocks): force-collect the oldest
+    # call once exceeded so a survivor- or window-heavy round can't queue
+    # unbounded HBM.
+    INFLIGHT_BYTES = 1 << 30
 
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
                  kappa: int | None = None, w: int | None = None,
@@ -162,12 +286,13 @@ class PairScorer:
         self.tables = jnp.asarray(np.stack([t for t, _ in pairs]))
         self.tvecs = jnp.asarray(np.stack([v for _, v in pairs]))
         self.interpret = interpret
+        self.dev_codes: DeviceSeqCodes | None = None
+        self.metrics = None  # optional ScanMetrics for phase walls
 
-    def dispatch(self, items: list[PairItem]) -> list:
-        """Enqueue all bucket kernel calls without blocking (device work
-        overlaps host packing of subsequent buckets)."""
-        import jax.numpy as jnp
+    def set_device_codes(self, dev_codes: DeviceSeqCodes | None) -> None:
+        self.dev_codes = dev_codes
 
+    def _w_eff(self, items: list[PairItem]) -> int:
         # Effective group width: don't pad tiny workloads up to the full
         # width (a scan of a few windows per profile would waste w-fold
         # compute); widths are powers of two so the compile cache stays
@@ -175,13 +300,37 @@ class PairScorer:
         per_profile: dict[int, int] = {}
         for it in items:
             per_profile[it.p_idx] = per_profile.get(it.p_idx, 0) + 1
-        w_eff = max(8, min(self.w, next_pow2(max(per_profile.values()))))
+        return max(8, min(self.w, next_pow2(max(per_profile.values()))))
+
+    def dispatch(self, items: list[PairItem]) -> list:
+        """Enqueue all bucket kernel calls without blocking (device work
+        overlaps host packing of subsequent buckets)."""
+        import jax.numpy as jnp
+
+        m = self.metrics
+        w_eff = self._w_eff(items)
+        use_dev = self.dev_codes is not None and self.mode == "pending"
 
         inflight = []
+        results: dict[int, tuple[float, float]] = {}
+        inflight_bytes = 0
         for bucket in build_batches(items, self.kappa, w=w_eff):
-            pidx, xts, lens, ck, _ = bucket_arrays(bucket, self.kappa,
-                                                   mode=self.mode, w=w_eff)
-            if self.hbm_table:
+            t0 = time.perf_counter()
+            if use_dev:
+                pidx, xts, lens, starts = bucket_arrays_meta(
+                    bucket, w_eff, self.dev_codes)
+            else:
+                pidx, xts, lens, ck, _ = bucket_arrays(
+                    bucket, self.kappa, mode=self.mode, w=w_eff)
+            t1 = time.perf_counter()
+            if use_dev:
+                alt, nul = self._vp.viterbi_scores_pairs_from_starts(
+                    jnp.asarray(pidx), self.tables, self.tvecs,
+                    jnp.asarray(xts), jnp.asarray(lens),
+                    jnp.asarray(starts), self.dev_codes.dev,
+                    nlb=bucket.nlb, kappa=self.kappa,
+                    interpret=self.interpret, hbm=self.hbm_table)
+            elif self.hbm_table:
                 alt, nul = self._vp.viterbi_scores_pairs_hbm(
                     jnp.asarray(pidx), self.tables, self.tvecs,
                     jnp.asarray(xts), jnp.asarray(lens), jnp.asarray(ck),
@@ -192,18 +341,41 @@ class PairScorer:
                     jnp.asarray(xts), jnp.asarray(lens), jnp.asarray(ck),
                     kappa=self.kappa, interpret=self.interpret,
                     mode=self.mode, prefetch=self.prefetch)
-            inflight.append((bucket, alt, nul))
+            t2 = time.perf_counter()
+            if m is not None:
+                m.add_wall("pack", t1 - t0)
+                m.add_wall("dispatch", t2 - t1)
+            nbytes = len(pidx) * bucket.nlb * self.kappa * 5 * w_eff * 4
+            inflight.append((bucket, alt, nul, nbytes))
+            inflight_bytes += nbytes
+            while inflight_bytes > self.INFLIGHT_BYTES and len(inflight) > 1:
+                old = inflight.pop(0)
+                self._collect_one(old, results, m)
+                inflight_bytes -= old[3]
+        if results:
+            inflight.insert(0, results)
         return inflight
 
     @staticmethod
-    def collect(inflight) -> dict[int, tuple[float, float]]:
+    def _collect_one(entry, results, m=None) -> None:
+        bucket, alt, nul = entry[0], entry[1], entry[2]
+        t0 = time.perf_counter()
+        alt = np.asarray(alt)
+        nul = np.asarray(nul)
+        if m is not None:
+            m.add_wall("collect", time.perf_counter() - t0)
+        for gi, g in enumerate(bucket.groups):
+            for wi, it in enumerate(g):
+                results[id(it)] = (float(nul[gi, wi]), float(alt[gi, wi]))
+
+    def collect(self, inflight) -> dict[int, tuple[float, float]]:
+        m = getattr(self, "metrics", None)
         results: dict[int, tuple[float, float]] = {}
-        for bucket, alt, nul in inflight:
-            alt = np.asarray(alt)
-            nul = np.asarray(nul)
-            for gi, g in enumerate(bucket.groups):
-                for wi, it in enumerate(g):
-                    results[id(it)] = (float(nul[gi, wi]), float(alt[gi, wi]))
+        for entry in inflight:
+            if isinstance(entry, dict):  # early-collected under the cap
+                results.update(entry)
+                continue
+            self._collect_one(entry, results, m)
         return results
 
     def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
@@ -232,8 +404,9 @@ class BucketedPairScorer:
     # of each (w, Kp) state plane) at this budget, measured stable on
     # TPU v5e with the double-buffered table.
     W_LANE_BUDGET = 128 * 512
-    # HBM-table mode: VMEM holds only the DP state, ~18 (w, Kp) f32
-    # planes (MA + PM + PI + ST rings) = 72*w*Kp bytes; budget ~10.5 MB.
+    # HBM-table mode: VMEM holds only the DP state + staged emission
+    # blocks, HBM_STATE_BYTES_PER_LANE * w * Kp bytes (the constant is
+    # defined next to the kernel and shared with bench.py); budget ~10.5 MB.
     HBM_STATE_BUDGET = 10_500_000
 
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
@@ -253,7 +426,8 @@ class BucketedPairScorer:
                 wb = w
             else:
                 wb = 8
-                while wb * 2 <= min(128, self.HBM_STATE_BUDGET // (72 * kp)):
+                while wb * 2 <= min(128, self.HBM_STATE_BUDGET //
+                                    (vp.HBM_STATE_BYTES_PER_LANE * kp)):
                     wb *= 2
             return PairScorer(costs, interpret=interpret, kappa=kappa, w=wb,
                               hbm_table=True)
@@ -279,6 +453,15 @@ class BucketedPairScorer:
                 self.scorers.append(hbm_factory(costs))
             else:
                 self.scorers.append(factory(costs))
+
+    def set_device_codes(self, dev_codes) -> None:
+        for s in self.scorers:
+            if hasattr(s, "set_device_codes"):
+                s.set_device_codes(dev_codes)
+
+    def set_metrics(self, metrics) -> None:
+        for s in self.scorers:
+            s.metrics = metrics
 
     def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
         by_scorer: dict[int, list[PairItem]] = {}

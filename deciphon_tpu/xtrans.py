@@ -9,6 +9,7 @@ The scan engine re-derives these per window with L = max(window_len/3, 1)
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -80,6 +81,7 @@ def xtrans_costs(x: XTrans) -> dict[str, np.float32]:
     }
 
 
+@functools.lru_cache(maxsize=65536)
 def xtrans_cost_vector(multi_hits: bool, hmmer3_compat: bool,
                        window_len: int) -> np.ndarray:
     """(13,) f32 cost vector in the fixed order used by the Viterbi kernels.
@@ -87,11 +89,18 @@ def xtrans_cost_vector(multi_hits: bool, hmmer3_compat: bool,
     Order: RR SN NN SB NB EB JB EJ JJ EC CC ET CT.
     window_len is in nucleotides; the xtrans length is max(window_len//3, 1)
     (c-core/thread.c:113).
+
+    Memoized: the scan recomputes this once per (profile, window) pair and
+    window lengths repeat heavily (full windows are exactly min(50K, 100k)
+    nt per profile), so the cache turns a measured steady-state host cost
+    into a dict hit.  The returned array is frozen against mutation.
     """
     x = xtrans_setup(multi_hits, hmmer3_compat, max(window_len // 3, 1))
     c = xtrans_costs(x)
     order = ["RR", "SN", "NN", "SB", "NB", "EB", "JB", "EJ", "JJ", "EC", "CC", "ET", "CT"]
-    return np.array([c[k] for k in order], dtype=np.float32)
+    out = np.array([c[k] for k in order], dtype=np.float32)
+    out.flags.writeable = False
+    return out
 
 
 XT_RR, XT_SN, XT_NN, XT_SB, XT_NB, XT_EB, XT_JB, XT_EJ, XT_JJ, XT_EC, XT_CC, XT_ET, XT_CT = range(13)
