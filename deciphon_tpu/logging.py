@@ -48,6 +48,7 @@ class ScanMetrics:
     pairs_batches: int = 0
     survivors: int = 0
     products: int = 0
+    wasted_windows: int = 0  # speculated windows discarded by hit rewinds
     started: float = field(default_factory=time.perf_counter)
     walls: dict = field(default_factory=dict)
 
@@ -82,6 +83,7 @@ class ScanMetrics:
             "pairs_batches": self.pairs_batches,
             "survivors": self.survivors,
             "products": self.products,
+            "wasted_windows": self.wasted_windows,
             "elapsed_s": round(self.elapsed, 3),
             "gcups": round(self.gcups, 3),
             "walls": {k: round(v, 4) for k, v in sorted(self.walls.items())},

@@ -155,3 +155,41 @@ def cpu_baseline_gcups(core_size: int = 400, length: int = 2048,
     cells = nwin * length * 5 * core_size
     measured = cells / dt / 1e9
     return measured * REFERENCE_SERVER_CORES / ncores
+
+
+class NativePairScorer:
+    """Multithreaded native-CPU pair scorer: the reads/s baseline engine.
+
+    Implements the scan scheduler's scorer contract (score(items) ->
+    {id(item): (null_cost, alt_cost)}) on the striped AVX2 kernel, fanned
+    out over OS threads exactly like the reference's OpenMP scan loop
+    (c-core/scan.c:188, thread.c:49-86) — ctypes releases the GIL for the
+    duration of each kernel call, so the fan-out is real.  Plugged into
+    the unchanged Scanner pipeline it yields an end-to-end CPU reads/s
+    measurement of this machine, the baseline BASELINE.md's ">=10x
+    reads/s" goal is stated against.
+    """
+
+    def __init__(self, costs_list, nthreads: int | None = None):
+        from ..xtrans import XT_RR
+
+        self.profiles = [NativeProfile(c) for c in costs_list]
+        self.nthreads = nthreads or os.cpu_count() or 1
+        self._xt_rr = XT_RR
+
+    def _score_one(self, it):
+        prof = self.profiles[it.p_idx]
+        codes = it.codes
+        xt = it.xt
+        L = it.win.length
+        alt = prof.viterbi(codes, L, xt)
+        nul = prof.viterbi_null(codes, L, float(xt[self._xt_rr]))
+        return id(it), (nul, alt)
+
+    def score(self, items) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(items) == 1:
+            return dict([self._score_one(items[0])])
+        with ThreadPoolExecutor(max_workers=self.nthreads) as pool:
+            return dict(pool.map(self._score_one, items))

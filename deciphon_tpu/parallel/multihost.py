@@ -28,7 +28,8 @@ import time
 
 __all__ = [
     "partition_sizes", "process_slice", "init_multihost",
-    "run_sharded_scan", "merge_product_shards",
+    "run_sharded_scan", "merge_product_shards", "wait_for_shards",
+    "supervise_shards",
 ]
 
 
@@ -87,10 +88,54 @@ def _global_counters(local: dict[str, float],
     return {k: int(total[i]) for i, k in enumerate(keys)}
 
 
+def wait_for_shards(shared_dir: str, num_processes: int,
+                    timeout_s: float, is_alive=None,
+                    poll_s: float = 0.02) -> tuple[list[int], list[int]]:
+    """Wait for shard completion sentinels; returns (done, missing).
+
+    `is_alive(pid) -> bool`, when given, lets the wait give up on a shard
+    early once its worker is known dead (instead of burning the full
+    timeout) — the failure-detection hook the launcher-side supervisor
+    plugs in."""
+    deadline = time.monotonic() + timeout_s
+    pendings = set(range(num_processes))
+    done: list[int] = []
+    while pendings:
+        for pid in sorted(pendings):
+            if os.path.exists(os.path.join(shared_dir,
+                                           f"shard.{pid}.done")):
+                pendings.discard(pid)
+                done.append(pid)
+            elif is_alive is not None and not is_alive(pid):
+                pendings.discard(pid)  # dead without sentinel: failed
+        if not pendings:
+            break
+        if time.monotonic() > deadline:
+            break
+        time.sleep(poll_s)
+    missing = [p for p in range(num_processes) if p not in done]
+    return sorted(done), missing
+
+
+def _write_failure_report(shared_dir: str, missing: list[int],
+                          num_processes: int) -> str:
+    """Durable failure record next to the shards (the reference reports
+    job failure upstream via JobUpdate.fail, cli/deciphon/worker.py:152;
+    here the artifact tier carries the report)."""
+    path = os.path.join(shared_dir, "failures.json")
+    with open(path, "w") as fp:
+        json.dump({"failed_shards": missing,
+                   "num_processes": num_processes,
+                   "time": time.time()}, fp)
+    return path
+
+
 def run_sharded_scan(profiles, sequences, shared_dir: str, *,
                      process_id: int, num_processes: int,
                      config=None, distributed: bool = False,
-                     timeout_s: float = 300.0) -> str | None:
+                     timeout_s: float = 300.0,
+                     allow_partial: bool = False,
+                     merge: bool = True) -> str | None:
     """Scan this process's profile shard and merge on process 0.
 
     Every process calls this with the FULL profile list and sequence
@@ -124,20 +169,76 @@ def run_sharded_scan(profiles, sequences, shared_dir: str, *,
     with open(os.path.join(shared_dir, f"shard.{process_id}.done"), "w"):
         pass
 
-    if process_id != 0:
+    if process_id != 0 or not merge:
         return None
-    deadline = time.monotonic() + timeout_s
-    for pid in range(num_processes):
-        sentinel = os.path.join(shared_dir, f"shard.{pid}.done")
-        while not os.path.exists(sentinel):
-            if time.monotonic() > deadline:
-                raise TimeoutError(f"shard {pid} never completed")
-            time.sleep(0.02)
+    done, missing = wait_for_shards(shared_dir, num_processes, timeout_s)
+    if missing:
+        _write_failure_report(shared_dir, missing, num_processes)
+        if not allow_partial:
+            raise TimeoutError(
+                f"shards {missing} never completed "
+                f"(failure report: {shared_dir}/failures.json)")
     return merge_product_shards(
         shared_dir,
-        [os.path.join(shared_dir, f"shard.{pid}") for pid in
-         range(num_processes)],
+        [os.path.join(shared_dir, f"shard.{pid}") for pid in done],
         [p.accession for p in profiles])
+
+
+def supervise_shards(shared_dir: str, num_processes: int, spawn, *,
+                     max_retries: int = 1, timeout_s: float = 600.0,
+                     poll_s: float = 0.1) -> dict:
+    """Launcher-side shard babysitter: restart crashed workers, then
+    report.
+
+    `spawn(pid)` must start the worker for shard `pid` and return an
+    object with `poll()` (None while running, else exit code).  A worker
+    that exits nonzero — or exits zero without writing its sentinel —
+    is re-dispatched up to `max_retries` times (shards are idempotent:
+    the shard dir is rewritten and the sentinel is written last, so a
+    retry is safe); beyond that the shard is marked failed.  This is the
+    TPU-tier analog of the reference CLI worker restarting a crashed
+    scanner and reporting failure upstream
+    (cli/deciphon/worker.py:166-175).
+
+    Returns {"done": [...], "failed": [...], "restarts": {pid: n}};
+    writes failures.json when any shard failed.  The caller merges with
+    merge_product_shards over the done shards.
+    """
+    procs = {pid: spawn(pid) for pid in range(num_processes)}
+    retries = {pid: 0 for pid in range(num_processes)}
+    deadline = time.monotonic() + timeout_s
+    done: set[int] = set()
+    failed: set[int] = set()
+
+    def sentinel(pid: int) -> bool:
+        return os.path.exists(os.path.join(shared_dir, f"shard.{pid}.done"))
+
+    while len(done) + len(failed) < num_processes:
+        for pid, proc in list(procs.items()):
+            if pid in done or pid in failed:
+                continue
+            if sentinel(pid):
+                done.add(pid)
+                continue
+            rc = proc.poll()
+            if rc is None:
+                continue
+            if rc == 0 and sentinel(pid):
+                done.add(pid)
+            elif retries[pid] < max_retries:
+                retries[pid] += 1
+                procs[pid] = spawn(pid)
+            else:
+                failed.add(pid)
+        if time.monotonic() > deadline:
+            failed.update(pid for pid in range(num_processes)
+                          if pid not in done)
+            break
+        time.sleep(poll_s)
+    if failed:
+        _write_failure_report(shared_dir, sorted(failed), num_processes)
+    return {"done": sorted(done), "failed": sorted(failed),
+            "restarts": {pid: n for pid, n in retries.items() if n}}
 
 
 def merge_product_shards(out_dir: str, shard_dirs: list[str],

@@ -64,7 +64,14 @@ class ScanConfig:
     multi_hits: bool = True
     hmmer3_compat: bool = False
     max_pairs: int = 256  # pairs in flight per scoring round
-    engine: str = "pallas"  # "pallas" | "pallas-interpret" | "jax"
+    engine: str = "pallas"  # "pallas" | "pallas-interpret" | "jax" | "native"
+    # Window-chain speculation depth cap: windows generated ahead of the
+    # last-hit feedback per (profile, sequence) cursor.  Depth starts at
+    # the cursor's expected window count, drops to 1 after a hit rewind,
+    # and doubles back while hit-free — hit-dense cursors degrade to the
+    # serial walk with zero waste, hit-free cursors score whole chains
+    # per wave.
+    spec_depth: int = 64
 
 
 class Scanner:
@@ -90,6 +97,12 @@ class Scanner:
             self.scorer = scorer(self.costs) if callable(scorer) else scorer
         elif self.config.engine == "jax":
             self.scorer = JaxPairScorer(self.costs)
+        elif self.config.engine == "native":
+            # Multithreaded striped-SIMD CPU engine (native/): the host
+            # fallback and the measured reads/s baseline (BASELINE.md).
+            from ..native import NativePairScorer
+
+            self.scorer = NativePairScorer(self.costs)
         elif self.config.engine == "pallas-multi":
             from ..parallel.multidevice import MultiDevicePairScorer
             from .scheduler import BucketedPairScorer
@@ -145,8 +158,24 @@ class Scanner:
         self.progress_total = max(P * S, 1)
         self.progress_done = 0
 
+        # -- speculative window chains ---------------------------------
+        # The serial dependency of the reference's window walk is the
+        # last-hit feedback (window.c:21-27), which only acts when a hit
+        # lands.  Each cursor therefore speculates up to `depth` windows
+        # ahead assuming no new hit; when a hit's last_hit_pos differs
+        # from the speculated state, the cursor REWINDS to the exact
+        # post-hit serial state and its outstanding windows are discarded
+        # and regenerated — so the processed window sequence is exactly
+        # the reference's serial walk, while scoring runs in deep waves
+        # with wave k+1 dispatched before wave k's results are collected
+        # (device never idles on the host round trip).
         cursors: dict[tuple[int, int], WindowCursor] = {}
-        pending: list[PairItem] = []
+        chains: dict[tuple[int, int], list[PairItem]] = {}
+        depth: dict[tuple[int, int], int] = {}
+        exhausted: set[tuple[int, int]] = set()
+        finished: set[tuple[int, int]] = set()
+        max_depth = max(1, self.config.spec_depth)
+
         for p in range(P):
             K = self.profiles[p].core_size
             for s in range(S):
@@ -155,55 +184,128 @@ class Scanner:
                     continue
                 cur = WindowCursor(K, sequences[s].size)
                 cursors[(p, s)] = cur
-                item = self._next_item(p, s, cur, sequences)
-                if item is not None:
-                    pending.append(item)
-                else:
-                    self.progress_done += 1
-                    if checkpoint:
-                        writer.journal_pair_done(p, s)
+                chains[(p, s)] = []
+                # hit-free cursors (the common case) score their whole
+                # expected chain in the first wave; a rewind drops the
+                # depth to 1 and regrows it
+                depth[(p, s)] = min(max_depth, cur.estimate_windows())
 
-        while pending:
-            if should_stop is not None and should_stop():
-                # interrupt contract (c-core/scan.c:199-204): stop between
-                # scoring rounds; with checkpointing the journal preserves
-                # finished pairs for a later resume.
-                raise Scanner.Interrupted("scan interrupted")
-            batch = pending[: self.config.max_pairs * 8]
-            rest = pending[len(batch):]
-            scores = self.scorer.score(batch)
+        def refill(key) -> None:
+            if key in exhausted or key in finished:
+                return
+            cur = cursors[key]
+            chain = chains[key]
+            while len(chain) < depth[key]:
+                item = self._next_item(key[0], key[1], cur, sequences)
+                if item is None:
+                    exhausted.add(key)
+                    break
+                item.post_state = cur.state()
+                chain.append(item)
+
+        def finish_ready() -> None:
+            for key in chains:
+                if (key in exhausted and not chains[key]
+                        and key not in finished):
+                    finished.add(key)
+                    self.progress_done += 1
+                    if self._checkpoint:
+                        writer.journal_pair_done(*key)
+
+        with self.metrics.timed("windowing"):
+            for key in chains:
+                refill(key)
+            finish_ready()
+
+        cap = self.config.max_pairs * 8
+        can_pipeline = hasattr(self.scorer, "dispatch_all")
+
+        def assemble() -> list[PairItem]:
+            wave: list[PairItem] = []
+            for key in sorted(chains):
+                for it in chains[key]:
+                    if not it.dispatched:
+                        it.dispatched = True
+                        wave.append(it)
+                        if len(wave) >= cap:
+                            return wave
+            return wave
+
+        def process(items, scores) -> None:
             self.metrics.pairs_batches += 1
+            rewound: dict = {}  # key -> rewind cutoff window idx
             survivors: list[tuple[PairItem, float]] = []
-            for it in batch:
+            for it in items:
+                key = (it.p_idx, it.s_idx)
+                if not it.valid:
+                    self.metrics.wasted_windows += 1
+                    continue
+                chains[key].remove(it)
                 self.metrics.add_window(
                     it.win.length, self.profiles[it.p_idx].core_size)
                 null_c, alt_c = scores[id(it)]
                 line_lrt = lrt(null_c, alt_c)
                 if math.isfinite(line_lrt) and line_lrt >= 0:
-                    self.metrics.survivors += 1
                     survivors.append((it, line_lrt))
-            # Phase 2 batched across this round's survivors (grouped by
+            # Phase 2 batched across this wave's survivors (grouped by
             # profile and padded length): survivor-heavy scans pay one
             # vmapped path pass per group, not one dispatch per survivor.
             trellises = self._batched_paths(survivors)
             with self.metrics.timed("phase2_decode"):
                 for it, line_lrt in survivors:
+                    key = (it.p_idx, it.s_idx)
+                    if (not it.valid or (key in rewound
+                                         and it.win.idx > rewound[key])):
+                        # discarded by an earlier hit's rewind — the
+                        # serial walk regenerates this cursor's windows
+                        self.metrics.wasted_windows += 1
+                        continue
+                    self.metrics.survivors += 1
+
+                    def on_hit_pos(pos, it=it, key=key):
+                        cur = cursors[key]
+                        if pos == it.post_state[3]:
+                            return  # speculation state already matches
+                        # rewind to the exact post-hit serial state and
+                        # discard every speculated later window
+                        cur.restore(it.post_state)
+                        cur.set_last_hit_position(pos)
+                        for later in chains[key]:
+                            later.valid = False
+                        chains[key].clear()
+                        exhausted.discard(key)
+                        depth[key] = 1
+                        rewound[key] = it.win.idx
+
                     self._phase2(it, sequences[it.s_idx], line_lrt,
-                                 cursors[(it.p_idx, it.s_idx)], writer,
-                                 trellises[id(it)])
+                                 on_hit_pos, writer, trellises[id(it)])
             with self.metrics.timed("windowing"):
-                nxt: list[PairItem] = []
-                for it in batch:
-                    item = self._next_item(it.p_idx, it.s_idx,
-                                           cursors[(it.p_idx, it.s_idx)],
-                                           sequences)
-                    if item is not None:
-                        nxt.append(item)
-                    else:
-                        self.progress_done += 1
-                        if self._checkpoint:
-                            writer.journal_pair_done(it.p_idx, it.s_idx)
-            pending = rest + nxt
+                for key in chains:
+                    if key not in rewound and depth[key] < max_depth:
+                        depth[key] = min(depth[key] * 2, max_depth)
+                    refill(key)
+                finish_ready()
+
+        inflight = None  # (handle, items) of the dispatched-ahead wave
+        while True:
+            if should_stop is not None and should_stop():
+                # interrupt contract (c-core/scan.c:199-204): stop between
+                # scoring waves; with checkpointing the journal preserves
+                # finished pairs for a later resume.
+                raise Scanner.Interrupted("scan interrupted")
+            wave = assemble()
+            if can_pipeline:
+                handle = self.scorer.dispatch_all(wave) if wave else None
+                if inflight is not None:
+                    prev_handle, prev_items = inflight
+                    process(prev_items, self.scorer.collect_all(prev_handle))
+                inflight = (handle, wave) if wave else None
+                if inflight is None and not any(chains.values()):
+                    break
+            else:
+                if not wave:
+                    break
+                process(wave, self.scorer.score(wave))
 
         with self.metrics.timed("write"):
             writer.sort_lines()
@@ -271,6 +373,20 @@ class Scanner:
             for b, it in enumerate(sub):
                 out[id(it)] = (xn[b], nd[b])
 
+        def collect_rest():
+            # one batched transfer for every still-in-flight trellis
+            # (per-array fetches pay a runtime round trip each)
+            import jax
+
+            t0 = time.perf_counter()
+            flat = jax.device_get([a for e in inflight for a in e[1:3]])
+            if m is not None:
+                m.add_wall("phase2_collect", time.perf_counter() - t0)
+            for i, (sub, _, _, _) in enumerate(inflight):
+                xn, nd = flat[2 * i], flat[2 * i + 1]
+                for b, it in enumerate(sub):
+                    out[id(it)] = (xn[b], nd[b])
+
         for (p_idx, Lpad), items in groups.items():
             costs = self.costs[p_idx]
             K = self.profiles[p_idx].core_size
@@ -305,12 +421,12 @@ class Scanner:
                     old = inflight.pop(0)
                     collect_one(old)
                     inflight_bytes -= old[3]
-        for entry in inflight:
-            collect_one(entry)
+        if inflight:
+            collect_rest()
         return out
 
     def _phase2(self, it: PairItem, seq: Sequence, line_lrt: float,
-                cursor: WindowCursor, writer: ProductWriter,
+                on_hit_pos, writer: ProductWriter,
                 trellis: tuple) -> None:
         p_idx, win = it.p_idx, it.win
         profile = self.profiles[p_idx]
@@ -322,7 +438,7 @@ class Scanner:
         if seg is None:
             return  # no B state: cursor's last_hit_pos stays -1
         begin, end, hit_start, hit_stop, last_hit_pos, found_hit = seg
-        cursor.set_last_hit_position(last_hit_pos)
+        on_hit_pos(last_hit_pos)
         if not found_hit:
             return  # B without E: empty amino -> no product (thread.c flow)
 

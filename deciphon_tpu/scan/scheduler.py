@@ -67,7 +67,8 @@ class PairItem:
     """
 
     __slots__ = ("p_idx", "s_idx", "win", "multi_hits", "hmmer3_compat",
-                 "seq", "gstart", "_codes")
+                 "seq", "gstart", "_codes", "post_state", "valid",
+                 "dispatched")
 
     def __init__(self, p_idx: int, s_idx: int, win: Window,
                  multi_hits: bool, hmmer3_compat: bool,
@@ -81,6 +82,12 @@ class PairItem:
         self.seq = seq
         self.gstart = gstart
         self._codes = codes
+        # speculation bookkeeping (scan/pipeline.py): the cursor state
+        # right after this window was generated, whether the window is
+        # still part of the serial walk, and whether a wave carries it
+        self.post_state = None
+        self.valid = True
+        self.dispatched = False
 
     @property
     def codes(self) -> np.ndarray:
@@ -460,10 +467,17 @@ class BucketedPairScorer:
                 s.set_device_codes(dev_codes)
 
     def set_metrics(self, metrics) -> None:
+        self.metrics = metrics
         for s in self.scorers:
             s.metrics = metrics
 
-    def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
+    def dispatch_all(self, items: list[PairItem]):
+        """Enqueue every sub-scorer's device work for one wave without
+        blocking; returns an opaque handle for collect_all.  Dispatching
+        every bucket before any collect keeps the device queue full (the
+        analog of the reference keeping all OpenMP threads busy before
+        the merge, c-core/scan.c:188); the scan pipeline additionally
+        overlaps collect of wave k with device execution of wave k+1."""
         by_scorer: dict[int, list[PairItem]] = {}
         remap: dict[int, int] = {}
         for it in items:
@@ -471,28 +485,59 @@ class BucketedPairScorer:
             remap[id(it)] = it.p_idx
             it.p_idx = local
             by_scorer.setdefault(si, []).append(it)
-        results: dict[int, tuple[float, float]] = {}
         try:
-            # Dispatch every scorer's device work before collecting any
-            # result: one sync wave instead of one blocking round trip
-            # per bucket (the analog of the reference keeping all OpenMP
-            # threads busy before the merge, c-core/scan.c:188).
             pending = []
             for si, group in by_scorer.items():
                 scorer = self.scorers[si]
                 if hasattr(scorer, "dispatch"):
                     pending.append((scorer, scorer.dispatch(group), None))
                 else:
-                    pending.append((scorer, None, group))
-            for scorer, inflight, group in pending:
-                if inflight is not None:
-                    results.update(scorer.collect(inflight))
-                else:
-                    results.update(scorer.score(group))
+                    # sub-scorer without async dispatch: score eagerly
+                    pending.append((scorer, None, scorer.score(group)))
         finally:
             for it in items:  # restore global indices
                 it.p_idx = remap[id(it)]
+        return pending
+
+    def collect_all(self, pending) -> dict[int, tuple[float, float]]:
+        """Fetch every bucket's outputs of one wave in a SINGLE batched
+        device_get: per-array host transfers pay a full runtime round
+        trip each (~11x slower under the tunneled TPU, measured), so the
+        wave's result arrays cross together."""
+        import jax
+
+        flat = []
+        for scorer, inflight, eager in pending:
+            if inflight is None:
+                continue
+            for e in inflight:
+                if not isinstance(e, dict):
+                    flat.append(e[1])
+                    flat.append(e[2])
+        t0 = time.perf_counter()
+        fetched = jax.device_get(flat) if flat else []
+        m = getattr(self, "metrics", None)
+        if m is not None:
+            m.add_wall("collect", time.perf_counter() - t0)
+        pos = 0
+        results: dict[int, tuple[float, float]] = {}
+        for scorer, inflight, eager in pending:
+            if inflight is None:
+                results.update(eager)
+                continue
+            rebuilt = []
+            for e in inflight:
+                if isinstance(e, dict):
+                    rebuilt.append(e)
+                else:
+                    rebuilt.append((e[0], fetched[pos], fetched[pos + 1],
+                                    e[3]))
+                    pos += 2
+            results.update(scorer.collect(rebuilt))
         return results
+
+    def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
+        return self.collect_all(self.dispatch_all(items))
 
 
 class JaxPairScorer:

@@ -60,3 +60,23 @@ class WindowCursor:
     def set_last_hit_position(self, pos: int) -> None:
         """pos is window-relative (c-core/thread.c:162)."""
         self.last_hit_pos = pos
+
+    def estimate_windows(self) -> int:
+        """Expected window count assuming no hits (lhp stays -1): the
+        scan pipeline's initial speculation depth, so a hit-free cursor
+        scores its whole chain in one wave."""
+        w = min(self.core_size * LENGTH_FACTOR, MAX_WINDOW)
+        if self.seq_size <= w:
+            return 1
+        step = max(w - self.core_size * OVERLAP_FACTOR, 1)
+        return 1 + -(-(self.seq_size - w) // step)
+
+    # Snapshot/restore: the scan pipeline speculates windows ahead of the
+    # last-hit feedback (windows are generated assuming no new hit) and
+    # rewinds the cursor when a hit lands with a different last_hit_pos —
+    # re-deriving the exact serial window walk of the reference.
+    def state(self) -> tuple[int, int, int, int]:
+        return (self.start, self.stop, self.idx, self.last_hit_pos)
+
+    def restore(self, state: tuple[int, int, int, int]) -> None:
+        self.start, self.stop, self.idx, self.last_hit_pos = state

@@ -28,7 +28,25 @@ def main() -> None:
     ap.add_argument("--seq-len", type=int, default=120)
     ap.add_argument("--workload", choices=["synthetic", "minifam"],
                     default="synthetic")
+    ap.add_argument("--no-merge", action="store_true",
+                    help="scan the shard only; a supervisor merges")
+    ap.add_argument("--crash-marker", default=None,
+                    help="fault injection: die mid-scan on the attempt "
+                         "that creates this marker file (absent -> crash)")
+    ap.add_argument("--crash-always", action="store_true",
+                    help="fault injection: die before scanning, always")
     args = ap.parse_args()
+
+    if args.crash_always:
+        os._exit(1)
+    if args.crash_marker and not os.path.exists(args.crash_marker):
+        with open(args.crash_marker, "w"):
+            pass
+        import threading
+
+        # die mid-scan: the supervisor must detect the nonzero exit with
+        # no completion sentinel and re-dispatch this shard
+        threading.Timer(0.3, lambda: os._exit(1)).start()
 
     import jax
 
@@ -81,8 +99,9 @@ def main() -> None:
     merged = run_sharded_scan(
         profiles, sequences, args.shared_dir,
         process_id=args.pid, num_processes=args.nprocs,
-        config=ScanConfig(engine="jax"), distributed=distributed)
-    if args.pid == 0:
+        config=ScanConfig(engine="jax"), distributed=distributed,
+        merge=not args.no_merge)
+    if args.pid == 0 and not args.no_merge:
         print(merged)
 
 

@@ -82,3 +82,65 @@ def test_two_process_dryrun_identical_products(tmp_path):
     # cross-process merge ordering is actually exercised
     assert result["global_counters"]["windows"] >= 2
     assert result["global_counters"]["products"] >= 2
+
+
+WORKER = os.path.join(REPO, "scripts", "multihost_worker.py")
+
+
+def _spawn_worker(pid, nprocs, shared, extra):
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    cmd = [sys.executable, WORKER, "--pid", str(pid), "--nprocs",
+           str(nprocs), "--shared-dir", str(shared), "--workload",
+           "synthetic", "--profiles", "3", "--core-size", "8", "--seqs",
+           "2", "--seq-len", "60", "--no-merge"] + extra
+    return subprocess.Popen(cmd, env=env, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+
+
+def test_supervisor_redispatches_crashed_shard(tmp_path):
+    """A worker killed mid-scan is restarted and its shard completes
+    (reference: cli worker restarts a crashed scanner,
+    cli/deciphon/worker.py:166-175)."""
+    from deciphon_tpu.parallel.multihost import supervise_shards
+
+    marker = tmp_path / "crashed.once"
+
+    def spawn(pid):
+        extra = ["--crash-marker", str(marker)] if pid == 1 else []
+        return _spawn_worker(pid, 2, tmp_path, extra)
+
+    report = supervise_shards(str(tmp_path), 2, spawn, max_retries=1,
+                              timeout_s=300)
+    assert report["failed"] == []
+    assert report["done"] == [0, 1]
+    assert report["restarts"] == {1: 1}
+    assert marker.exists()  # the crash actually happened
+    for pid in (0, 1):
+        assert (tmp_path / f"shard.{pid}.done").exists()
+        assert (tmp_path / f"shard.{pid}" / "products.tsv").exists()
+
+
+def test_supervisor_partial_merge_on_permanent_failure(tmp_path):
+    """A shard that keeps crashing past max_retries is reported failed;
+    the surviving shards still merge (partial-merge + failure report
+    instead of a bare TimeoutError)."""
+    from deciphon_tpu.parallel.multihost import (merge_product_shards,
+                                                 supervise_shards)
+    from deciphon_tpu.scan.product import HEADER
+
+    def spawn(pid):
+        extra = ["--crash-always"] if pid == 1 else []
+        return _spawn_worker(pid, 2, tmp_path, extra)
+
+    report = supervise_shards(str(tmp_path), 2, spawn, max_retries=1,
+                              timeout_s=300)
+    assert report["failed"] == [1]
+    assert report["done"] == [0]
+    assert report["restarts"] == {1: 1}
+    failures = json.load(open(tmp_path / "failures.json"))
+    assert failures["failed_shards"] == [1]
+
+    out = merge_product_shards(
+        str(tmp_path), [str(tmp_path / "shard.0")], [])
+    assert open(out).readline() == HEADER

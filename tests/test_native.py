@@ -71,3 +71,33 @@ def test_native_bench_runs():
     xt = xtrans_cost_vector(True, False, 256)
     dt = prof.bench_seconds(codes, 256, xt, nwin=4, nthreads=2)
     assert dt > 0
+
+
+def test_native_engine_end_to_end_parity(tmp_path):
+    """The native CPU engine (the reads/s baseline) drives the SAME
+    pipeline to byte-identical products as the jax engine on a
+    survivor-bearing workload (reference consensus reads x minifam)."""
+    pytest.importorskip("deciphon_tpu.native")
+    try:
+        from deciphon_tpu.native import load
+        load()
+    except Exception:
+        pytest.skip("native library unavailable")
+
+    from deciphon_tpu.io.dcp import read_dcp_profiles
+    from deciphon_tpu.scan.pipeline import ScanConfig, Scanner
+    from deciphon_tpu.scan.sequence import Sequence
+    from tests.test_golden_parity import FILES, read_fasta
+
+    _, profiles = read_dcp_profiles(f"{FILES}/minifam.dcp")
+    seqs = [Sequence.make(i, n, s)
+            for i, (n, s) in enumerate(read_fasta(f"{FILES}/consensus.fna"))]
+
+    out_n = Scanner(profiles, ScanConfig(engine="native")).run(
+        seqs, str(tmp_path / "native"))
+    out_j = Scanner(profiles, ScanConfig(engine="jax")).run(
+        seqs, str(tmp_path / "jax"))
+    with open(out_n) as a, open(out_j) as b:
+        na, nb = a.read(), b.read()
+    assert na == nb
+    assert na.count("\n") > 1  # survivors actually produced rows

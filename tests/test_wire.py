@@ -11,19 +11,33 @@ from deciphon_tpu.hmmer.h3result import H3Result
 from deciphon_tpu.hmmer.wire import WireError, parse_reply, serialize_reply
 
 SNAP = "/root/reference/control/tests/files/snap.dcs"
+# The OLDER fixture generation (snap/tests/files, pre-dating the current
+# xtrans amino-length convention — docs/lrt_version_skew.md): its .h3r
+# blobs were written by a different HMMER/h3result revision, so pushing
+# them through the binary wire codec pins the layout across generations.
+SNAP_OLD = "/root/reference/snap/tests/files/consensus.dcs"
 
 
-@pytest.fixture(scope="module")
-def fixture_results():
-    with zipfile.ZipFile(SNAP) as z:
+def _load_h3rs(path):
+    with zipfile.ZipFile(path) as z:
         return [H3Result.from_blob(z.read(n))
                 for n in sorted(z.namelist()) if n.endswith(".h3r")]
 
 
-def test_wire_roundtrip_of_reference_values(fixture_results):
+@pytest.fixture(scope="module")
+def fixture_results():
+    return _load_h3rs(SNAP)
+
+
+@pytest.mark.parametrize("path", [SNAP, SNAP_OLD])
+def test_wire_roundtrip_of_reference_values(path):
     """Serialize a reference-produced result onto the wire and parse it
-    back: every field the .h3r stores must survive."""
-    for r in fixture_results:
+    back: every field the .h3r stores must survive — for BOTH shipped
+    fixture generations (layout skew between revisions would surface
+    here, not in production)."""
+    results = _load_h3rs(path)
+    assert results, f"no .h3r blobs found in {path}"
+    for r in results:
         back = parse_reply(serialize_reply(r))
         assert back.stats.Z == r.stats.Z
         assert back.stats.nhits == len(r.hits)
