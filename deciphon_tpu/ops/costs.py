@@ -24,8 +24,22 @@ from ..profile import FrameProfile
 from ..xtrans import xtrans_cost_vector
 
 INF = np.float32(np.inf)
-NUM_TRANS_VECS = 8  # BM MM MI MD IM II DM DD
+NUM_TRANS_VECS = 9  # BM MM MI MD IM II DM DD DDCUM
 CT_BM, CT_MM, CT_MI, CT_MD, CT_IM, CT_II, CT_DM, CT_DD = range(8)
+# Canonical saturated DD cumulative sum (float64 cumsum cast to f32),
+# row 8: the delete-chain prefix-scan offset.  Computed ONCE host-side so
+# every engine (lax.scan oracle, score kernel, path kernel) uses
+# bit-identical values — an in-trace f32 cumsum rounds differently and
+# flips D-backpointer ties between engines.
+CT_DDCUM = 8
+DD_SAT = 1e30  # saturation for +inf DD entries (padding lanes)
+
+
+def dd_cum_row(dd: np.ndarray) -> np.ndarray:
+    """Saturated float64 cumsum of a DD cost row, cast to f32."""
+    ddc = np.zeros(len(dd), np.float64)
+    ddc[1:] = np.minimum(dd[1:].astype(np.float64), DD_SAT)
+    return np.cumsum(ddc, dtype=np.float64).astype(np.float32)
 
 
 @dataclass
@@ -67,6 +81,7 @@ def build_costs(p: FrameProfile, multi_hits: bool = True,
     core[CT_II, : K - 1] = -t[1:K, 4]
     core[CT_DM, 1:] = -t[1:K, 5]
     core[CT_DD, 1:] = -t[1:K, 6]
+    core[CT_DDCUM] = dd_cum_row(core[CT_DD])
 
     return ViterbiCosts(
         K=K,

@@ -58,12 +58,22 @@ class ProfilePack:
         null = np.empty((P, TABLE_SIZE), np.float32)
         background = np.empty((P, TABLE_SIZE), np.float32)
         sizes = np.empty((P,), np.int32)
+        from .costs import CT_DD, CT_DDCUM, dd_cum_row
+
         for i, c in enumerate(costs):
             core[i, :, : c.K] = c.core
             match[i, :, : c.K] = c.match
             null[i] = c.null
             background[i] = c.background
             sizes[i] = c.K
+            # DDCUM must stay finite through the padding (an +inf entry
+            # turns the prefix-scan's A - DDCUM into NaN): recompute the
+            # saturated cumsum over the padded DD row, which continues
+            # with DD_SAT steps past K — huge enough that pad lanes never
+            # win the chain
+            dd_pad = np.full((K_pad,), INF, np.float32)
+            dd_pad[: c.K] = c.core[CT_DD]
+            core[i, CT_DDCUM] = dd_cum_row(dd_pad)
         return cls(K_pad=K_pad, core=core, match=match, null=null,
                    background=background, core_sizes=sizes)
 

@@ -37,7 +37,8 @@ import numpy as np
 
 from ..xtrans import (XT_CC, XT_CT, XT_EB, XT_EC, XT_EJ, XT_ET, XT_JB, XT_JJ,
                       XT_NB, XT_NN, XT_RR, XT_SB, XT_SN)
-from .costs import (CT_BM, CT_DD, CT_DM, CT_II, CT_IM, CT_MD, CT_MI, CT_MM)
+from .costs import (CT_BM, CT_DDCUM, CT_DM, CT_II, CT_IM, CT_MD, CT_MI,
+                    CT_MM)
 
 INF = jnp.float32(jnp.inf)
 
@@ -78,12 +79,12 @@ def viterbi(core, match, null, background, xt, codes, length, path=False):
     Lpad = codes.shape[0]
 
     BM, MM, MI, MD = core[CT_BM], core[CT_MM], core[CT_MI], core[CT_MD]
-    IM, II, DM, DD = core[CT_IM], core[CT_II], core[CT_DM], core[CT_DD]
+    IM, II, DM = core[CT_IM], core[CT_II], core[CT_DM]
 
-    # Saturating DD cumsum for the prefix-scan chain (padding uses +inf DD).
-    DDc = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                           jnp.minimum(DD[1:], jnp.float32(1e30))])
-    DD_cum = jnp.cumsum(DDc)
+    # Canonical host-computed saturated DD cumsum (ops/costs.py
+    # dd_cum_row): shared bit-identically with the Pallas kernels so
+    # D-backpointer tie-breaks agree across engines.
+    DD_cum = core[CT_DDCUM]
 
     ts = jnp.arange(1, 6, dtype=jnp.int32)  # durations
 

@@ -1072,3 +1072,287 @@ class PallasScanEngine:
         alt = np.asarray(alt).reshape(P, -1)[:, :B]
         nul = np.asarray(nul).reshape(P, -1)[:, :B]
         return nul, alt
+
+
+# ---------------------------------------------------------------------------
+# Path-mode pairs kernel: trellis emission for phase-2 survivors.
+#
+# Pull formulation with t-ORDERED candidate evaluation so every argmin
+# tie-break replicates the reference's first-minimum-wins scan order
+# (c-core/viterbi.c facc; mirrored from ops/viterbi_jax.py:119-186, the
+# oracle the golden tests anchor).  Candidate VALUES are computed with the
+# identical f32 operation shapes as viterbi_jax (same sums per candidate),
+# so min equality is exact and tie-breaks agree bit-for-bit.  Emits the
+# packed trellis (state.h:28-39 encodings) as int32 planes that stay on
+# device for the traceback walk (ops/traceback.py unzip_device_batch).
+# Large-K profiles (Kp > MAX_PALLAS_KP) keep the lax.scan path pass — the
+# VMEM table does not fit; survivors there are rare and bounded.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_path(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
+                 xn_ref, nd_ref,
+                 M, I, D, SML, *, kappa, Kp, nlb_dim, w=W):
+    W = w
+    nlb = pl.program_id(nlb_dim)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (W, Kp), 1)
+    xt = xt_ref[0]
+
+    def xtc(j):
+        return xt[:, j:j + 1]
+
+    tv_mms = tvec_ref[0, TV_MMS]
+    tv_ims = tvec_ref[0, TV_IMS]
+    tv_dms = tvec_ref[0, TV_DMS]
+    tv_bm = tvec_ref[0, TV_BM]
+    tv_ii = tvec_ref[0, TV_II]
+    tv_mi = tvec_ref[0, TV_MI]
+    tv_md = tvec_ref[0, TV_MD]
+    tv_ddcum = tvec_ref[0, TV_DDCUM]
+
+    @pl.when(nlb == 0)
+    def _init():
+        M[...] = jnp.full((5, W, Kp), INF)
+        I[...] = jnp.full((5, W, Kp), INF)
+        D[...] = jnp.full((5, W, Kp), INF)
+        SML[...] = jnp.full((7, 5, W, 1), INF)
+        SML[0:1, 0:1] = jnp.zeros((1, 1, W, 1))
+        SML[1:2, 0:1] = xtc(XT_SB)[None, None]
+
+    def step(i, _):
+        l = nlb * kappa + i + 1
+
+        # ---- per-duration state/emission in t-DESC order -------------
+        # init codes = the FIRST candidate in scan order (what argmin
+        # yields on all-inf rows), so even unreachable states' packed
+        # fields match the viterbi_jax oracle bit-for-bit
+        best_m = jnp.full((W, Kp), INF)
+        bm_code = jnp.full((W, Kp), 0 * 5 + 4, jnp.int32)  # t5 BM
+        best_i = jnp.full((W, Kp), INF)
+        bi_code = jnp.full((W, Kp), 5 + 4, jnp.int32)  # t5 II
+        best_n = jnp.full((W, 1), INF)
+        n_code = jnp.full((W, 1), 4, jnp.int32)  # t5 first-cand
+        best_j = jnp.full((W, 1), INF)
+        j_code = jnp.full((W, 1), 4, jnp.int32)
+        best_c = jnp.full((W, 1), INF)
+        c_code = jnp.full((W, 1), 4, jnp.int32)
+
+        def consider(best, code, cand, c):
+            take = cand < best
+            return (jnp.minimum(best, cand),
+                    jnp.where(take, jnp.int32(c), code))
+
+        for t in range(5, 0, -1):
+            rows = [table_ref[0, pl.ds(codes_ref[0, 0, i, t - 1, wq], 1), :]
+                    for wq in range(W)]
+            ma_t = jnp.concatenate(rows, axis=0)  # (W, Kp)
+            nil_t = ma_t[:, Kp - 2:Kp - 1]
+            bg_t = ma_t[:, Kp - 1:Kp]
+            s = jax.lax.rem(l - t + 10, 5)
+            Mr_t = M[pl.ds(s, 1)][0]
+            Ir_t = I[pl.ds(s, 1)][0]
+            Dr_t = D[pl.ds(s, 1)][0]
+            sml_t = SML[:, pl.ds(s, 1), :, :]
+            Sr_t, Br_t, Nr_t = sml_t[0, 0], sml_t[1, 0], sml_t[2, 0]
+            Jr_t, Cr_t, Er_t = sml_t[3, 0], sml_t[4, 0], sml_t[5, 0]
+
+            # duration validity (t > l): states at l-t don't exist; the
+            # rings provide +inf there by construction, and S_{l-t} is
+            # only finite when l == t (slot arithmetic lands on the seed)
+            # — matches viterbi_jax's explicit masking.
+
+            # M candidates, inner order BM, MM, IM, DM (field choice*5+t-1)
+            candBM = (Br_t + tv_bm) + ma_t
+            candMM = _lane_shift1(Mr_t + tv_mms) + ma_t
+            candIM = _lane_shift1(Ir_t + tv_ims) + ma_t
+            candDM = _lane_shift1(Dr_t + tv_dms) + ma_t
+            best_m, bm_code = consider(best_m, bm_code, candBM,
+                                       0 * 5 + (t - 1))
+            best_m, bm_code = consider(best_m, bm_code, candMM,
+                                       1 * 5 + (t - 1))
+            best_m, bm_code = consider(best_m, bm_code, candIM,
+                                       2 * 5 + (t - 1))
+            best_m, bm_code = consider(best_m, bm_code, candDM,
+                                       3 * 5 + (t - 1))
+            # I candidates, inner order II, MI (field: II base 5, MI 0)
+            candII = (Ir_t + tv_ii) + bg_t
+            candMI = (Mr_t + tv_mi) + bg_t
+            best_i, bi_code = consider(best_i, bi_code, candII,
+                                       5 + (t - 1))
+            best_i, bi_code = consider(best_i, bi_code, candMI,
+                                       0 + (t - 1))
+            # specials, inner order (first, second) as viterbi_jax order2
+            candSN = (Sr_t + xtc(XT_SN)) + nil_t
+            candNN = (Nr_t + xtc(XT_NN)) + nil_t
+            best_n, n_code = consider(best_n, n_code, candSN, 0 + (t - 1))
+            best_n, n_code = consider(best_n, n_code, candNN, 5 + (t - 1))
+            candEJ = (Er_t + xtc(XT_EJ)) + nil_t
+            candJJ = (Jr_t + xtc(XT_JJ)) + nil_t
+            best_j, j_code = consider(best_j, j_code, candEJ, 0 + (t - 1))
+            best_j, j_code = consider(best_j, j_code, candJJ, 5 + (t - 1))
+            candEC = (Er_t + xtc(XT_EC)) + nil_t
+            candCC = (Cr_t + xtc(XT_CC)) + nil_t
+            best_c, c_code = consider(best_c, c_code, candEC, 0 + (t - 1))
+            best_c, c_code = consider(best_c, c_code, candCC, 5 + (t - 1))
+
+        M_l, I_l = best_m, best_i
+        N_l, J_l, C_l = best_n, best_j, best_c
+
+        # ---- delete chain + D backpointer ----------------------------
+        A = _lane_shift1(M_l) + tv_md
+        D_l = _lane_cummin(A - tv_ddcum, lane2, Kp) + tv_ddcum
+        d_is_dd = (D_l < A).astype(jnp.int32)  # MD wins ties
+
+        # ---- E argmin over (M_0, D_0, M_1, D_1, ...) -----------------
+        vals = jnp.minimum(M_l, D_l)
+        rowmin = jnp.min(vals, axis=1, keepdims=True)
+        big = jnp.int32(1 << 30)
+        k_first = jnp.min(jnp.where(vals == rowmin, lane2, big), axis=1,
+                          keepdims=True)  # (W, 1)
+        m_hits = jnp.where((lane2 == k_first) & (M_l == rowmin), 1, 0)
+        m_at_k = jnp.max(m_hits, axis=1, keepdims=True)  # 1 if M wins
+        e_field = 2 * k_first + (1 - m_at_k)
+        E_l = rowmin
+
+        # ---- B / T argmins ------------------------------------------
+        cb = [N_l + xtc(XT_NB), E_l + xtc(XT_EB), J_l + xtc(XT_JB)]
+        B_l = jnp.full((W, 1), INF)
+        b_field = jnp.ones((W, 1), jnp.int32)  # argmin(all-inf) = NB
+        for ci, cand in enumerate(cb):
+            take = cand < B_l
+            B_l = jnp.minimum(B_l, cand)
+            b_field = jnp.where(take, jnp.int32(ci + 1), b_field)
+        ct = [E_l + xtc(XT_ET), C_l + xtc(XT_CT)]
+        T_l = jnp.full((W, 1), INF)
+        t_field = jnp.zeros((W, 1), jnp.int32)
+        for ci, cand in enumerate(ct):
+            take = cand < T_l
+            T_l = jnp.minimum(T_l, cand)
+            t_field = jnp.where(take, jnp.int32(ci), t_field)
+
+        # ---- pack + store trellis rows -------------------------------
+        # xnode: N(4b@0) B(2b@4) E(15b@6) C(4b@21) T(1b@25) J(4b@26)
+        xnode = (n_code | (b_field << 4) | (e_field << 6) | (c_code << 21)
+                 | (t_field << 25) | (j_code << 26))  # (W, 1) i32
+        # node: M(5b@0) D(1b@5) I(4b@6)
+        node = bm_code | (d_is_dd << 5) | (bi_code << 6)  # (W, Kp) i32
+        xn_ref[0, 0, i] = xnode
+        nd_ref[0, 0, i] = node
+
+        # ---- ring writes --------------------------------------------
+        slot = jax.lax.rem(l, 5)
+        M[pl.ds(slot, 1)] = M_l[None]
+        I[pl.ds(slot, 1)] = I_l[None]
+        D[pl.ds(slot, 1)] = D_l[None]
+        smalls = jnp.stack([jnp.full((W, 1), INF), B_l, N_l, J_l, C_l,
+                            E_l, jnp.full((W, 1), INF)])
+        SML[:, pl.ds(slot, 1)] = smalls[:, None]
+        return 0
+
+    jax.lax.fori_loop(0, kappa, step, 0)
+
+
+def _paths_pairs_core(pidx, tables, tvecs, xts, lengths, codes, *,
+                      kappa, interpret):
+    _, _, Kp = tables.shape
+    NPAIR, NLB = codes.shape[0], codes.shape[1]
+    W = codes.shape[4]
+    inner = functools.partial(_kernel_path, kappa=kappa, Kp=Kp, nlb_dim=1,
+                              w=W)
+
+    def kernel(pidx_ref, *rest):
+        inner(*rest)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NPAIR, NLB),
+        in_specs=[
+            pl.BlockSpec((1, 1, kappa, 5, W),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TABLE_SIZE, Kp),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Kp),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, 16), lambda pair, nlb, pidx: (pair, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, 1), lambda pair, nlb, pidx: (pair, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, kappa, W, 1),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kappa, W, Kp),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # M ring
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # I ring
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # D ring
+            pltpu.VMEM((7, 5, W, 1), jnp.float32),  # small rings
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((NPAIR, NLB, kappa, W, 1), jnp.int32),
+        jax.ShapeDtypeStruct((NPAIR, NLB, kappa, W, Kp), jnp.int32),
+    ]
+    xn, nd = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(pidx, codes, tables, tvecs, xts, lengths)
+    Lk = NLB * kappa
+    # (NPAIR, Lk, W[, Kp]) -> per-window-major (NPAIR, W, Lk[, Kp])
+    xn = xn.reshape(NPAIR, Lk, W).transpose(0, 2, 1)
+    nd = nd.reshape(NPAIR, Lk, W, Kp).transpose(0, 2, 1, 3)
+    return xn, nd
+
+
+_paths_pairs_jit = functools.partial(jax.jit, static_argnames=(
+    "kappa", "interpret"))(_paths_pairs_core)
+
+
+def _ck_end_from_starts(codes_all, starts, nlb, kappa):
+    """END-indexed codes for the pull-mode path kernel, gathered from the
+    scan-resident START-indexed array: the duration-t fragment ENDING at
+    DP position l starts at global row gstart + l - t."""
+    N, W = starts.shape
+    Lk = nlb * kappa
+    lp = jnp.arange(Lk, dtype=jnp.int32)
+    cols = []
+    for t in range(1, 6):
+        idx = starts[:, None, :] + (lp[None, :, None] + 1 - t)
+        idx = jnp.clip(idx, 0, codes_all.shape[0] - 1)  # (N, Lk, W)
+        cols.append(jnp.take(codes_all[:, t - 1], idx, axis=0))
+    ck = jnp.stack(cols, axis=2)  # (N, Lk, 5, W)
+    return ck.reshape(N, nlb, kappa, 5, W)
+
+
+@functools.partial(jax.jit, static_argnames=("kappa", "nlb", "interpret"))
+def _gather_paths_pairs_jit(pidx, tables, tvecs, xts, lengths, starts,
+                            codes_all, *, kappa, nlb, interpret):
+    ck = _ck_end_from_starts(codes_all, starts, nlb, kappa)
+    return _paths_pairs_core(pidx, tables, tvecs, xts, lengths, ck,
+                             kappa=kappa, interpret=interpret)
+
+
+def viterbi_paths_pairs(pidx, tables, tvecs, xts, lengths, starts=None,
+                        codes_all=None, codes=None, *, nlb=None,
+                        kappa=None, interpret=False):
+    """Trellis for NPAIR (profile, window-group) pairs (phase-2 pass).
+
+    Either device-side packing (starts + codes_all, production) or a
+    materialized END-indexed `codes` block (tests).  Returns
+    (xnodes (NPAIR, W, Lk) i32, nodes (NPAIR, W, Lk, Kp) i32) device
+    arrays — rows l-1 hold DP position l; the traceback walk consumes
+    them on device."""
+    kappa, _, _ = _resolve(kappa, "static", None)  # pull-mode kappa
+    if codes is not None:
+        return _paths_pairs_jit(pidx, tables, tvecs, xts, lengths, codes,
+                                kappa=kappa, interpret=interpret)
+    return _gather_paths_pairs_jit(pidx, tables, tvecs, xts, lengths,
+                                   starts, codes_all, kappa=kappa, nlb=nlb,
+                                   interpret=interpret)

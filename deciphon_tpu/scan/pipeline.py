@@ -32,7 +32,6 @@ import numpy as np
 from .. import states as st
 from ..frame import frag_code
 from ..ops.costs import ViterbiCosts, build_costs
-from ..ops.traceback import unzip
 from ..profile import FrameProfile
 from .decoder import Decoder
 from .product import MatchStep, ProductLine, ProductWriter
@@ -250,7 +249,7 @@ class Scanner:
             # Phase 2 batched across this wave's survivors (grouped by
             # profile and padded length): survivor-heavy scans pay one
             # vmapped path pass per group, not one dispatch per survivor.
-            trellises = self._batched_paths(survivors)
+            paths = self._batched_paths(survivors)
             with self.metrics.timed("phase2_decode"):
                 for it, line_lrt in survivors:
                     key = (it.p_idx, it.s_idx)
@@ -278,7 +277,7 @@ class Scanner:
                         rewound[key] = it.win.idx
 
                     self._phase2(it, sequences[it.s_idx], line_lrt,
-                                 on_hit_pos, writer, trellises[id(it)])
+                                 on_hit_pos, writer, paths[id(it)])
             with self.metrics.timed("windowing"):
                 for key in chains:
                     if key not in rewound and depth[key] < max_depth:
@@ -342,50 +341,65 @@ class Scanner:
     # ~(2K+8) bytes per position per survivor, so chunk groups to bound it.
     PATH_BATCH_BYTES = 256 << 20
 
-    def _batched_paths(self, survivors) -> dict[int, tuple]:
-        """Path-mode Viterbi for every LRT survivor of one scoring round.
+    def _batched_paths(self, survivors) -> dict[int, list]:
+        """Path-mode Viterbi + traceback for every LRT survivor of one
+        scoring round.
 
-        Survivors are grouped by (profile, padded window length) and each
-        group runs as one vmapped device call (ops/viterbi_jax.py
-        viterbi_path_batch); returns {id(item) -> (xnodes, nodes)} host
-        arrays.  The per-survivor lax.scan of the reference flow
-        (c-core/thread.c:126) stays only as the group-of-one case.
+        Survivors are grouped by (profile, padded window length); each
+        group runs as one vmapped path pass (ops/viterbi_jax.py
+        viterbi_path_batch) whose trellis is immediately consumed by the
+        DEVICE-side traceback walk (ops/traceback.py unzip_device_batch)
+        — only the (state, size) step arrays cross to the host, not the
+        (L, K) trellis.  Returns {id(item) -> path}.  The per-survivor
+        lax.scan of the reference flow (c-core/thread.c:126) stays only
+        as the group-of-one case.
         """
+        import jax
+
+        from ..ops.traceback import _unzip_batch_jit, unzip
         from ..ops.viterbi_jax import viterbi_path_batch
 
         m = self.metrics
 
+        out: dict[int, list] = {}
+        sitems = [it for it, _ in survivors]
+        if hasattr(self.scorer, "paths"):
+            # Pallas path kernel + device traceback for every tier that
+            # has one; only large-K (HBM-table) survivors fall through
+            got, sitems = self.scorer.paths(sitems)
+            out.update(got)
+        if not sitems:
+            return out
+
         groups: dict[tuple[int, int], list[PairItem]] = {}
-        for it, _ in survivors:
+        for it in sitems:
             groups.setdefault((it.p_idx, _pad_len(it.win.length)),
                               []).append(it)
-        out: dict[int, tuple] = {}
         inflight: list[tuple] = []
         inflight_bytes = 0
 
-        def collect_one(entry):
-            sub, xn, nd, _ = entry
+        def collect(entries):
+            # one batched transfer of the step arrays (~KB per survivor)
             t0 = time.perf_counter()
-            xn = np.asarray(xn)
-            nd = np.asarray(nd)
+            flat = jax.device_get(
+                [a for e in entries for a in (e[1], e[2], e[3], e[4])])
             if m is not None:
                 m.add_wall("phase2_collect", time.perf_counter() - t0)
-            for b, it in enumerate(sub):
-                out[id(it)] = (xn[b], nd[b])
-
-        def collect_rest():
-            # one batched transfer for every still-in-flight trellis
-            # (per-array fetches pay a runtime round trip each)
-            import jax
-
-            t0 = time.perf_counter()
-            flat = jax.device_get([a for e in inflight for a in e[1:3]])
-            if m is not None:
-                m.add_wall("phase2_collect", time.perf_counter() - t0)
-            for i, (sub, _, _, _) in enumerate(inflight):
-                xn, nd = flat[2 * i], flat[2 * i + 1]
+            for i, e in enumerate(entries):
+                sub, _, _, _, _, xn, nd, lengths, K = e[:9]
+                sts, szs, ns, oks = flat[4 * i:4 * i + 4]
                 for b, it in enumerate(sub):
-                    out[id(it)] = (xn[b], nd[b])
+                    if not bool(oks[b]):
+                        # bounded-walk overflow (pathological path):
+                        # exactness fallback to the host walk
+                        out[id(it)] = unzip(
+                            np.asarray(xn[b]), np.asarray(nd[b]),
+                            int(lengths[b]), K)
+                        continue
+                    n = int(ns[b])
+                    path = [(int(sts[b, j]), int(szs[b, j]))
+                            for j in range(n - 1, -1, -1)]
+                    out[id(it)] = [(st.STATE_S, 0)] + path
 
         for (p_idx, Lpad), items in groups.items():
             costs = self.costs[p_idx]
@@ -407,32 +421,33 @@ class Scanner:
                 _, xn, nd = viterbi_path_batch(
                     *dev, jnp.asarray(xts), jnp.asarray(codes),
                     jnp.asarray(lengths))
+                sts, szs, ns, oks = _unzip_batch_jit(
+                    xn, nd, jnp.asarray(lengths),
+                    max_steps=Lpad + 4 * K + 64)
                 if m is not None:
                     m.add_wall("phase2_path", time.perf_counter() - t0)
-                # collect after dispatch, but bound the aggregate
-                # in-flight trellis bytes: a survivor-heavy round would
-                # otherwise queue every group's buffers at once and OOM
-                # the device despite the per-call chunking.
+                # bound the aggregate in-flight trellis bytes: a
+                # survivor-heavy round would otherwise queue every
+                # group's buffers at once and OOM the device despite the
+                # per-call chunking.
                 nbytes = len(sub) * per
-                inflight.append((sub, xn, nd, nbytes))
+                inflight.append((sub, sts, szs, ns, oks, xn, nd, lengths,
+                                 K, nbytes))
                 inflight_bytes += nbytes
                 while (inflight_bytes > self.PATH_BATCH_BYTES
                        and len(inflight) > 1):
                     old = inflight.pop(0)
-                    collect_one(old)
-                    inflight_bytes -= old[3]
+                    collect([old])
+                    inflight_bytes -= old[9]
         if inflight:
-            collect_rest()
+            collect(inflight)
         return out
 
     def _phase2(self, it: PairItem, seq: Sequence, line_lrt: float,
                 on_hit_pos, writer: ProductWriter,
-                trellis: tuple) -> None:
+                path: list) -> None:
         p_idx, win = it.p_idx, it.win
         profile = self.profiles[p_idx]
-        L = win.length
-        xnodes, nodes = trellis
-        path = unzip(xnodes, nodes, L, profile.core_size)
 
         seg = segment_hits(path)
         if seg is None:

@@ -389,6 +389,111 @@ class PairScorer:
         """Returns {id(item) -> (null_cost, alt_cost)}."""
         return self.collect(self.dispatch(items))
 
+    # -- phase-2: path kernel + device traceback -----------------------
+
+    PATH_KAPPA = 32  # pull-mode l-block size of the path kernel
+
+    def paths_group(self, items: list[PairItem]) -> dict[int, list]:
+        """Trellis + traceback for LRT survivors on device.
+
+        Runs the Pallas path kernel (ops/viterbi_pallas.py
+        viterbi_paths_pairs, bit-exact trellis parity with the
+        viterbi_jax oracle) and the device traceback walk; only the
+        (state, size) step arrays cross to the host.  Not available for
+        the HBM-table tier (the VMEM emission table does not fit) — the
+        caller falls back to the lax.scan path pass there."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.traceback import _unzip_batch_jit, unzip
+
+        out: dict[int, list] = {}
+        if self.hbm_table or not items:
+            return out
+        kappa = self.PATH_KAPPA
+        w = 8
+        use_dev = self.dev_codes is not None
+        m = self.metrics
+        inflight = []
+        for bucket in build_batches(items, kappa, w=w):
+            t0 = time.perf_counter()
+            NLB = bucket.nlb
+            Lk = NLB * kappa
+            if use_dev:
+                pidx, xts, lens, starts = bucket_arrays_meta(
+                    bucket, w, self.dev_codes)
+                xn, nd = self._vp.viterbi_paths_pairs(
+                    jnp.asarray(pidx), self.tables, self.tvecs,
+                    jnp.asarray(xts), jnp.asarray(lens),
+                    starts=jnp.asarray(starts),
+                    codes_all=self.dev_codes.dev, nlb=NLB, kappa=kappa,
+                    interpret=self.interpret)
+            else:
+                n = len(bucket.groups)
+                N = next_pow2(max(1, n))
+                pidx = np.zeros((N,), np.int32)
+                xts = np.zeros((N, w, 16), np.float32)
+                lens = np.zeros((N, w, 1), np.int32)
+                ck = np.zeros((N, NLB, kappa, 5, w), np.int32)
+                vt = ck.reshape(N, Lk, 5, w)
+                for gi, g in enumerate(bucket.groups):
+                    pidx[gi] = g[0].p_idx
+                    for wi, it in enumerate(g):
+                        xts[gi, wi, :13] = it.xt
+                        lens[gi, wi, 0] = it.win.length
+                        vt[gi, : it.win.length, :, wi] = it.codes
+                xn, nd = self._vp.viterbi_paths_pairs(
+                    jnp.asarray(pidx), self.tables, self.tvecs,
+                    jnp.asarray(xts), jnp.asarray(lens),
+                    codes=jnp.asarray(ck), kappa=kappa,
+                    interpret=self.interpret)
+            # select the real (pair, slot) rows and run the device walk
+            rows, flat_items, lengths = [], [], []
+            for gi, g in enumerate(bucket.groups):
+                for wi, it in enumerate(g):
+                    rows.append(gi * w + wi)
+                    flat_items.append(it)
+                    lengths.append(it.win.length)
+            Kp = self.tables.shape[2]
+            NP = xn.shape[0]
+            xnf = xn.reshape(NP * w, Lk)
+            ndf = nd.reshape(NP * w, Lk, Kp)
+            ridx = jnp.asarray(np.asarray(rows, np.int32))
+            xn_sel = jnp.pad(jnp.take(xnf, ridx, axis=0), ((0, 0), (1, 0)))
+            nd_sel = jnp.pad(jnp.take(ndf, ridx, axis=0),
+                             ((0, 0), (1, 0), (0, 0)))
+            max_steps = Lk + 4 * Kp + 64
+            sts, szs, ns, oks = _unzip_batch_jit(
+                xn_sel, nd_sel, jnp.asarray(np.asarray(lengths, np.int32)),
+                max_steps=max_steps)
+            if m is not None:
+                m.add_wall("phase2_path", time.perf_counter() - t0)
+            inflight.append((flat_items, sts, szs, ns, oks, xn_sel, nd_sel,
+                             lengths))
+        # one batched fetch of every bucket's step arrays
+        t0 = time.perf_counter()
+        flat = jax.device_get(
+            [a for e in inflight for a in (e[1], e[2], e[3], e[4])])
+        if m is not None:
+            m.add_wall("phase2_collect", time.perf_counter() - t0)
+        from .. import states as st
+
+        for i, (flat_items, _, _, _, _, xn_sel, nd_sel, lengths) in \
+                enumerate(inflight):
+            sts, szs, ns, oks = flat[4 * i:4 * i + 4]
+            for b, it in enumerate(flat_items):
+                if not bool(oks[b]):
+                    out[id(it)] = unzip(
+                        np.asarray(xn_sel[b]).astype(np.uint32),
+                        np.asarray(nd_sel[b]).astype(np.uint16),
+                        int(lengths[b]), self.tables.shape[2])
+                    continue
+                n = int(ns[b])
+                path = [(int(sts[b, j]), int(szs[b, j]))
+                        for j in range(n - 1, -1, -1)]
+                out[id(it)] = [(st.STATE_S, 0)] + path
+        return out
+
 
 class BucketedPairScorer:
     """Partitions profiles into core-size buckets, one PairScorer each.
@@ -538,6 +643,35 @@ class BucketedPairScorer:
 
     def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
         return self.collect_all(self.dispatch_all(items))
+
+    def paths(self, items: list[PairItem]):
+        """Phase-2 trellis+traceback via each sub-scorer's path kernel.
+
+        Returns (paths {id -> path}, leftover items) — leftover are items
+        owned by tiers without a path kernel (HBM-table large-K profiles,
+        custom factories); the pipeline runs the lax.scan fallback for
+        them."""
+        by_scorer: dict[int, list[PairItem]] = {}
+        remap: dict[int, int] = {}
+        for it in items:
+            si, local = self._map[it.p_idx]
+            remap[id(it)] = it.p_idx
+            it.p_idx = local
+            by_scorer.setdefault(si, []).append(it)
+        out: dict[int, list] = {}
+        leftover: list[PairItem] = []
+        try:
+            for si, group in by_scorer.items():
+                scorer = self.scorers[si]
+                if (hasattr(scorer, "paths_group")
+                        and not getattr(scorer, "hbm_table", False)):
+                    out.update(scorer.paths_group(group))
+                else:
+                    leftover.extend(group)
+        finally:
+            for it in items:
+                it.p_idx = remap[id(it)]
+        return out, leftover
 
 
 class JaxPairScorer:

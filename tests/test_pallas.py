@@ -187,3 +187,57 @@ def test_hbm_kernel_bit_identical_to_vmem_kernel():
         jnp.asarray(ck), interpret=True)
     assert np.array_equal(np.asarray(a1), np.asarray(a2))
     assert np.array_equal(np.asarray(n1), np.asarray(n2))
+
+
+def test_path_kernel_trellis_bit_parity():
+    """The Pallas path kernel's packed trellis equals the viterbi_jax
+    oracle bit-for-bit (same candidate order, same f32 sums, shared
+    canonical DDCUM), so phase-2 paths are engine-independent."""
+    import jax.numpy as jnp
+
+    from deciphon_tpu.ops import viterbi_pallas as vp
+    from deciphon_tpu.ops.traceback import unzip
+    from deciphon_tpu.ops.viterbi_jax import viterbi_path_batch
+    from deciphon_tpu.xtrans import xtrans_cost_vector
+
+    rng = np.random.default_rng(11)
+    for K, Ls in [(9, [33, 47, 21]), (150, [200, 161, 90])]:
+        costs = build_costs(sample_profile(5 + K, K))
+        Kp = vp.round_up(K + 2, 128)
+        table, tvec = vp.build_tables(costs, Kp)
+        kappa, W = 32, 8
+        NLB = -(-max(Ls) // kappa)
+        Lk = NLB * kappa
+        B = len(Ls)
+        codes = np.zeros((W, Lk, 5), np.int32)
+        xts = np.zeros((1, W, 16), np.float32)
+        lens = np.zeros((1, W, 1), np.int32)
+        for b, L in enumerate(Ls):
+            seq = rng.integers(0, 4, size=L).astype(np.int8)
+            codes[b, :L] = frag_codes_ending(seq)
+            xts[0, b, :13] = xtrans_cost_vector(True, False, L)
+            lens[0, b, 0] = L
+        ck = codes.reshape(1, W, NLB, kappa, 5).transpose(0, 2, 3, 4, 1)
+        xn, nd = vp.viterbi_paths_pairs(
+            jnp.asarray(np.zeros(1, np.int32)), jnp.asarray(table[None]),
+            jnp.asarray(tvec[None]), jnp.asarray(xts), jnp.asarray(lens),
+            codes=jnp.asarray(np.ascontiguousarray(ck)), kappa=kappa,
+            interpret=True)
+        xn = np.asarray(xn)[0]
+        nd = np.asarray(nd)[0]
+        _, oxn, ond = viterbi_path_batch(
+            jnp.asarray(costs.core), jnp.asarray(costs.match),
+            jnp.asarray(costs.null), jnp.asarray(costs.background),
+            jnp.asarray(xts[0, :B, :13]), jnp.asarray(codes[:B]),
+            jnp.asarray(lens[0, :B, 0]))
+        oxn = np.asarray(oxn)
+        ond = np.asarray(ond)
+        for b, L in enumerate(Ls):
+            kx = xn[b, :L].astype(np.uint32)
+            kn = nd[b, :L, :K].astype(np.uint16)
+            assert (kx == oxn[b, 1:L + 1]).all()
+            assert (kn == ond[b, 1:L + 1, :K]).all()
+            pk = unzip(np.concatenate([np.zeros(1, np.uint32), kx]),
+                       np.concatenate([np.zeros((1, K), np.uint16), kn]),
+                       L, K)
+            assert pk == unzip(oxn[b], ond[b], L, K)
