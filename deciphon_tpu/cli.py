@@ -72,13 +72,36 @@ def press(hmmfile, gencode, epsilon, output, progress):
 
 @cli.command()
 @click.argument("dbfile", type=click.Path(exists=True, dir_okay=False))
+@click.option("--read-length", "read_lengths", type=int, multiple=True,
+              help="Expected read length(s); default = one full window "
+                   "per distinct profile core size.")
+@click.option("--engine", type=click.Choice(["pallas", "jax"]),
+              default="pallas", show_default=True)
+def warmup(dbfile, read_lengths, engine):
+    """Precompile the scan kernels for DBFILE into the persistent XLA
+    cache (one-time per database + read-length profile): later scans
+    start in seconds instead of paying the cold compile wall."""
+    from .io.dcp import read_dcp_profiles
+    from .scan.pipeline import ScanConfig, Scanner
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    _, profiles = read_dcp_profiles(str(dbfile))
+    scanner = Scanner(profiles, ScanConfig(engine=engine))
+    dt = scanner.warmup(list(read_lengths) or None)
+    click.echo(f"warmup done in {dt:.1f}s "
+               f"({len(profiles)} profiles, engine={engine})")
+
+
+@cli.command()
+@click.argument("dbfile", type=click.Path(exists=True, dir_okay=False))
 @click.argument("seqfile", type=click.Path(exists=True, dir_okay=False))
 @click.option("--snap", type=click.Path(), default=None,
               help="Output .dcs path (default: SEQFILE base + .dcs).")
 @click.option("--multi-hits/--no-multi-hits", default=True, show_default=True)
 @click.option("--hmmer3-compat/--no-hmmer3-compat", default=False,
               show_default=True)
-@click.option("--engine", type=click.Choice(["pallas", "jax"]),
+@click.option("--engine", type=click.Choice(["pallas", "jax", "native"]),
               default="pallas", show_default=True)
 @click.option("--hmmer", "hmmer_port", type=int, default=None,
               help="Confirm hits against hmmpgmd on this port.")

@@ -237,8 +237,11 @@ def _unzip_one(xnodes, nodes, length, max_steps: int):
     sts0 = jnp.zeros((max_steps,), i32)
     szs0 = jnp.zeros((max_steps,), i32)
     state0 = jnp.asarray(_T, i32)
+    # pad lanes (length 0) exit immediately — a vmapped while_loop runs
+    # until EVERY lane is done, so a spinning pad lane would cost the
+    # full step bound
     carry = (state0, length.astype(i32), jnp.asarray(0, i32), sts0, szs0,
-             jnp.asarray(True))
+             length > 0)
     state, stage, n, sts, szs, _ = lax.while_loop(cond, body, carry)
     ok = jnp.logical_and(state == _S, stage == 0)
     return sts, szs, n, ok

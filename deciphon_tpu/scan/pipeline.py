@@ -125,6 +125,34 @@ class Scanner:
     class Interrupted(RuntimeError):
         pass
 
+    def warmup(self, read_lengths: list[int] | None = None) -> float:
+        """AOT shape warmup: compile the scan's kernel programs ahead of
+        the first real batch by scanning synthetic reads of the expected
+        lengths (default: one full-window read per distinct core size).
+        Shapes land in the persistent XLA cache (utils/jaxcache.py), so
+        one warmup per (database, read-length profile) amortizes over
+        every later scan on the machine.  Returns the wall seconds
+        spent."""
+        import tempfile
+        import time as _time
+
+        from .sequence import Sequence
+
+        if read_lengths is None:
+            read_lengths = sorted({
+                min(p.core_size * 50, 100000) for p in self.profiles})
+        rng = np.random.default_rng(0)
+        seqs = [
+            Sequence.make(i, f"warmup{i}",
+                          "".join("ACGT"[b]
+                                  for b in rng.integers(0, 4, size=n)))
+            for i, n in enumerate(read_lengths)
+        ]
+        t0 = _time.perf_counter()
+        with tempfile.TemporaryDirectory() as tmp:
+            self.run(seqs, tmp + "/warmup")
+        return _time.perf_counter() - t0
+
     def run(self, sequences: list[Sequence], product_dir: str,
             checkpoint: bool = False, should_stop=None) -> str:
         from ..logging import ScanMetrics, get_logger
@@ -411,9 +439,15 @@ class Scanner:
             for i0 in range(0, len(items), chunk):
                 sub = items[i0:i0 + chunk]
                 t0 = time.perf_counter()
-                codes = np.zeros((len(sub), Lpad, 5), np.int32)
-                xts = np.zeros((len(sub), 13), np.float32)
-                lengths = np.zeros((len(sub),), np.int32)
+                # pad the batch dim to a power of two: the survivor count
+                # varies freely and would key a fresh (slow) lax.scan
+                # compile per count; pad rows carry length 0
+                Bp = 1
+                while Bp < len(sub):
+                    Bp *= 2
+                codes = np.zeros((Bp, Lpad, 5), np.int32)
+                xts = np.zeros((Bp, 13), np.float32)
+                lengths = np.zeros((Bp,), np.int32)
                 for b, it in enumerate(sub):
                     codes[b, :it.win.length] = it.codes
                     xts[b] = it.xt

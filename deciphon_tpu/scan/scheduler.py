@@ -155,8 +155,26 @@ class _Bucket:
 NCHUNK = 64
 
 
+def chunk_sizes(n: int) -> list[int]:
+    """Decompose a group count into {NCHUNK, 8, 1} chunks.
+
+    Every kernel call's leading dim is then one of exactly THREE values,
+    so the compiled-program count stays flat regardless of workload shape
+    (free-form power-of-two tails multiplied the cold compile wall), with
+    zero pad-pair compute waste."""
+    out = []
+    while n >= NCHUNK:
+        out.append(NCHUNK)
+        n -= NCHUNK
+    while n >= 8:
+        out.append(8)
+        n -= 8
+    out.extend([1] * n)
+    return out
+
+
 def build_batches(items: list[PairItem], kappa: int,
-                  max_pairs: int = NCHUNK, w: int = W) -> list[_Bucket]:
+                  max_pairs: int | None = None, w: int = W) -> list[_Bucket]:
     """Group items by profile into w-slots; bucket groups by padded NLB."""
     by_profile: dict[int, list[PairItem]] = {}
     for it in items:
@@ -177,8 +195,10 @@ def build_batches(items: list[PairItem], kappa: int,
 
     out = []
     for b in sorted(buckets.values(), key=lambda b: b.nlb):
-        for i in range(0, len(b.groups), max_pairs):
-            out.append(_Bucket(nlb=b.nlb, groups=b.groups[i:i + max_pairs]))
+        i = 0
+        for size in chunk_sizes(len(b.groups)):
+            out.append(_Bucket(nlb=b.nlb, groups=b.groups[i:i + size]))
+            i += size
     return out
 
 
@@ -295,19 +315,27 @@ class PairScorer:
         self.interpret = interpret
         self.dev_codes: DeviceSeqCodes | None = None
         self.metrics = None  # optional ScanMetrics for phase walls
+        self._w_pinned: int | None = None
 
     def set_device_codes(self, dev_codes: DeviceSeqCodes | None) -> None:
         self.dev_codes = dev_codes
+        self._w_pinned = None  # new scan: re-derive the group width once
 
     def _w_eff(self, items: list[PairItem]) -> int:
         # Effective group width: don't pad tiny workloads up to the full
         # width (a scan of a few windows per profile would waste w-fold
-        # compute); widths are powers of two so the compile cache stays
-        # small.
+        # compute).  PINNED on first dispatch for the scan's lifetime —
+        # later waves are smaller (chains drain), and letting the width
+        # shrink with them would compile a fresh program per width while
+        # saving only pad-slot compute on already-small waves.
+        if self._w_pinned is not None:
+            return self._w_pinned
         per_profile: dict[int, int] = {}
         for it in items:
             per_profile[it.p_idx] = per_profile.get(it.p_idx, 0) + 1
-        return max(8, min(self.w, next_pow2(max(per_profile.values()))))
+        self._w_pinned = max(8, min(self.w,
+                                    next_pow2(max(per_profile.values()))))
+        return self._w_pinned
 
     def dispatch(self, items: list[PairItem]) -> list:
         """Enqueue all bucket kernel calls without blocking (device work
@@ -458,13 +486,22 @@ class PairScorer:
             NP = xn.shape[0]
             xnf = xn.reshape(NP * w, Lk)
             ndf = nd.reshape(NP * w, Lk, Kp)
+            # pad the walk batch to a power of two (pad lanes carry
+            # length 0 and exit the walk immediately): the survivor
+            # count varies per wave and would otherwise key a fresh
+            # compile per count
+            B = len(rows)
+            Bp = next_pow2(max(1, B))
+            rows += [0] * (Bp - B)
+            lens_pad = np.zeros((Bp,), np.int32)
+            lens_pad[:B] = lengths
             ridx = jnp.asarray(np.asarray(rows, np.int32))
             xn_sel = jnp.pad(jnp.take(xnf, ridx, axis=0), ((0, 0), (1, 0)))
             nd_sel = jnp.pad(jnp.take(ndf, ridx, axis=0),
                              ((0, 0), (1, 0), (0, 0)))
             max_steps = Lk + 4 * Kp + 64
             sts, szs, ns, oks = _unzip_batch_jit(
-                xn_sel, nd_sel, jnp.asarray(np.asarray(lengths, np.int32)),
+                xn_sel, nd_sel, jnp.asarray(lens_pad),
                 max_steps=max_steps)
             if m is not None:
                 m.add_wall("phase2_path", time.perf_counter() - t0)
