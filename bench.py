@@ -230,6 +230,52 @@ def bench_scan(args) -> dict:
     }
 
 
+def bench_scan_hits(args) -> dict:
+    """Survivor-heavy scan (massive-style): every read is a consensus
+    sequence, so every (read, matching-profile) window passes the LRT and
+    phase 2 (path kernel + traceback + decode) dominates.  Reports the
+    phase-2 share of wall — the c-core/test_massive.c shape on hardware."""
+    import json as _json
+    import os
+    import tempfile
+
+    from deciphon_tpu.io.dcp import DcpReader
+    from deciphon_tpu.press import press
+    from deciphon_tpu.scan.pipeline import ScanConfig, Scanner
+    from deciphon_tpu.scan.sequence import Sequence
+
+    dcp = os.path.join(tempfile.mkdtemp(), "minifam.dcp")
+    press(MINIFAM, dcp)
+    profiles = list(DcpReader(dcp))
+    cons = _json.load(open(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests",
+        "data_consensus.json")))
+    reads = []
+    for i in range(args.hit_reads):
+        s = cons[i % len(cons)]
+        reads.append(Sequence.make(i, f"{s['name']}.{i}", s["seq"]))
+
+    scanner = Scanner(profiles, ScanConfig(engine=args.engine))
+    with tempfile.TemporaryDirectory() as tmp:
+        scanner.run(reads, tmp + "/prod")  # compile pass
+    t0 = time.perf_counter()
+    with tempfile.TemporaryDirectory() as tmp:
+        scanner.run(reads, tmp + "/prod")
+    dt = time.perf_counter() - t0
+    m = scanner.metrics
+    p2 = sum(v for k, v in m.walls.items() if k.startswith("phase2"))
+    return {
+        "reads_per_s": round(len(reads) / dt, 2),
+        "wall_s": round(dt, 3),
+        "reads": len(reads),
+        "windows": m.windows_scored,
+        "survivors": m.survivors,
+        "products": m.products,
+        "phase2_share": round(p2 / dt, 3),
+        "walls": {k: round(v, 3) for k, v in sorted(m.walls.items())},
+    }
+
+
 def _run_child(mode: str, argv: list[str], timeout_s: float,
                env_extra: dict | None = None) -> dict | None:
     """One measurement in a subprocess, retried once: the tunneled TPU
@@ -267,7 +313,7 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--engine", choices=["pallas", "jax", "native"],
                     default="pallas")
-    ap.add_argument("--mode", choices=["all", "kernel", "scan"],
+    ap.add_argument("--mode", choices=["all", "kernel", "scan", "scan-hits"],
                     default="all")
     ap.add_argument("--reads", type=int, default=50)
     ap.add_argument("--read-len", type=int, default=10000)
@@ -275,6 +321,8 @@ def main() -> None:
     ap.add_argument("--scan-profiles", type=int, default=24)
     ap.add_argument("--big-k", type=int, default=1,
                     help="include one K>4096 profile (HBM-table path)")
+    ap.add_argument("--hit-reads", type=int, default=120,
+                    help="reads in the survivor-heavy phase-2 bench")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--child", action="store_true")
     args = ap.parse_args()
@@ -288,7 +336,7 @@ def main() -> None:
             argv.append("--quick")
         for name in ("profiles", "core_size", "windows", "length", "iters",
                      "engine", "reads", "read_len", "long_reads",
-                     "scan_profiles", "big_k"):
+                     "scan_profiles", "big_k", "hit_reads"):
             val = getattr(args, name)
             if val != ap.get_default(name):
                 argv += [f"--{name.replace('_', '-')}", str(val)]
@@ -300,6 +348,7 @@ def main() -> None:
                  "baseline_src": baseline_src}
         kr = _run_child("kernel", argv, 1500)
         sr = _run_child("scan", argv, 1800)
+        hr = _run_child("scan-hits", argv, 1500)
         # End-to-end CPU baseline: the SAME pipeline on the SAME workload,
         # scored by the multithreaded native striped kernel — the unit
         # BASELINE.md's ">=10x reads/s" goal demands (measured locally;
@@ -314,6 +363,8 @@ def main() -> None:
             extra["scan"] = sr["extra"]["scan"]
         if cr:
             extra["scan_cpu"] = cr["extra"]["scan"]
+        if hr:
+            extra["scan_hits"] = hr["extra"]["scan_hits"]
         if sr and cr:
             value, unit, metric = (extra["scan"]["reads_per_s"], "reads/s",
                                    "scan_reads_per_s")
@@ -355,6 +406,8 @@ def main() -> None:
     if args.mode in ("all", "scan"):
         extra["scan"] = {k: (round(v, 4) if isinstance(v, float) else v)
                          for k, v in bench_scan(args).items()}
+    if args.mode == "scan-hits":
+        extra["scan_hits"] = bench_scan_hits(args)
 
     baseline = measured_cpu_baseline()
     baseline_src = "native-cpp"
@@ -367,6 +420,10 @@ def main() -> None:
         value, unit = extra["kernel"]["gcups"], "GCUPS/chip"
         metric = "viterbi_gcups"
         vs = round(value / baseline, 3)
+    elif "scan_hits" in extra:
+        value, unit = extra["scan_hits"]["reads_per_s"], "reads/s"
+        metric = "scan_hits_reads_per_s"
+        vs = None
     else:
         value, unit = extra["scan"]["reads_per_s"], "reads/s"
         metric = "scan_reads_per_s"

@@ -17,6 +17,7 @@ of profiles and sequences.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -27,6 +28,10 @@ from ..xtrans import xtrans_cost_vector
 from .window import Window
 
 W = 8  # default windows per group (scorers may choose wider groups)
+
+# Debug: force a device sync after every scoring dispatch and record the
+# per-bucket device wall into the metrics (perf attribution only).
+_SYNC_DEBUG = bool(os.environ.get("DECIPHON_SYNC_DEBUG"))
 
 
 def next_pow2(n: int) -> int:
@@ -146,6 +151,7 @@ class DeviceSeqCodes:
 class _Bucket:
     nlb: int
     groups: list[list[PairItem]]
+    w: int = W
 
 
 # Groups per kernel call: full chunks use this fixed leading dim (one
@@ -175,35 +181,40 @@ def chunk_sizes(n: int) -> list[int]:
 
 def build_batches(items: list[PairItem], kappa: int,
                   max_pairs: int | None = None, w: int = W) -> list[_Bucket]:
-    """Group items by profile into w-slots; bucket groups by padded NLB."""
-    by_profile: dict[int, list[PairItem]] = {}
+    """Bucket items by padded-length rung, group per profile into w-slots.
+
+    The group width adapts PER (length-rung, profile): long-window rungs
+    typically hold 1-2 windows per profile, and padding those up to the
+    scorer-wide width was measured to dominate device time (a 100 knt
+    window group with 2 real slots of 32 wastes 94% of its compute).  `w`
+    caps the width; each bucket carries the width its groups were built
+    with."""
+    per: dict[tuple[int, int], list[PairItem]] = {}
     for it in items:
-        by_profile.setdefault(it.p_idx, []).append(it)
+        nlb = quantize_nlb(max(1, -(-it.win.length // kappa)))
+        per.setdefault((nlb, it.p_idx), []).append(it)
 
-    groups: list[list[PairItem]] = []
-    for p_idx in sorted(by_profile):
-        wins = by_profile[p_idx]
-        for i in range(0, len(wins), w):
-            groups.append(wins[i:i + w])
-
-    buckets: dict[int, _Bucket] = {}
-    for g in groups:
-        lmax = max(it.win.length for it in g)
-        nlb = quantize_nlb(max(1, -(-lmax // kappa)))
-        b = buckets.setdefault(nlb, _Bucket(nlb=nlb, groups=[]))
-        b.groups.append(g)
+    buckets: dict[tuple[int, int], _Bucket] = {}
+    for (nlb, p_idx) in sorted(per):
+        wins = per[(nlb, p_idx)]
+        wg = max(8, min(w, next_pow2(len(wins))))
+        b = buckets.setdefault((nlb, wg), _Bucket(nlb=nlb, groups=[], w=wg))
+        for i in range(0, len(wins), wg):
+            b.groups.append(wins[i:i + wg])
 
     out = []
-    for b in sorted(buckets.values(), key=lambda b: b.nlb):
+    for key in sorted(buckets):
+        b = buckets[key]
         i = 0
         for size in chunk_sizes(len(b.groups)):
-            out.append(_Bucket(nlb=b.nlb, groups=b.groups[i:i + size]))
+            out.append(_Bucket(nlb=b.nlb, groups=b.groups[i:i + size],
+                               w=b.w))
             i += size
     return out
 
 
 def bucket_arrays(bucket: _Bucket, kappa: int, mode: str = "raw",
-                  w: int = W):
+                  w: int | None = None):
     """Assemble padded kernel inputs for one bucket.
 
     Returns (pidx (N,), xts (N,w,16), lens (N,w,1),
@@ -214,6 +225,7 @@ def bucket_arrays(bucket: _Bucket, kappa: int, mode: str = "raw",
     modes build only `ck` — each is one allocation filled in its final
     layout (packing is a measured hot spot of the steady-state scan).
     """
+    w = bucket.w if w is None else w
     n = len(bucket.groups)
     N = next_pow2(max(1, n))
     NLB = bucket.nlb
@@ -256,12 +268,13 @@ def bucket_arrays(bucket: _Bucket, kappa: int, mode: str = "raw",
     return pidx, xts, lens, ck, None
 
 
-def bucket_arrays_meta(bucket: _Bucket, w: int, dev_codes: DeviceSeqCodes):
+def bucket_arrays_meta(bucket: _Bucket, dev_codes: DeviceSeqCodes):
     """Metadata-only bucket assembly for the device-side packing path.
 
     Returns (pidx (N,), xts (N,w,16), lens (N,w,1), starts (N,w)) — a few
     KB per round instead of the materialized code blocks, which the
     fused kernel jit gathers on device from `dev_codes`."""
+    w = bucket.w
     n = len(bucket.groups)
     N = next_pow2(max(1, n))
     pidx = np.zeros((N,), np.int32)
@@ -353,10 +366,10 @@ class PairScorer:
             t0 = time.perf_counter()
             if use_dev:
                 pidx, xts, lens, starts = bucket_arrays_meta(
-                    bucket, w_eff, self.dev_codes)
+                    bucket, self.dev_codes)
             else:
                 pidx, xts, lens, ck, _ = bucket_arrays(
-                    bucket, self.kappa, mode=self.mode, w=w_eff)
+                    bucket, self.kappa, mode=self.mode)
             t1 = time.perf_counter()
             if use_dev:
                 alt, nul = self._vp.viterbi_scores_pairs_from_starts(
@@ -380,7 +393,15 @@ class PairScorer:
             if m is not None:
                 m.add_wall("pack", t1 - t0)
                 m.add_wall("dispatch", t2 - t1)
-            nbytes = len(pidx) * bucket.nlb * self.kappa * 5 * w_eff * 4
+                if _SYNC_DEBUG:
+                    np.asarray(alt).sum()
+                    Kp = self.tables.shape[2]
+                    m.add_wall(
+                        f"bkt_kp{Kp}_nlb{bucket.nlb}_n{len(pidx)}"
+                        f"_w{bucket.w}"
+                        + ("_hbm" if self.hbm_table else ""),
+                        time.perf_counter() - t2)
+            nbytes = len(pidx) * bucket.nlb * self.kappa * 5 * bucket.w * 4
             inflight.append((bucket, alt, nul, nbytes))
             inflight_bytes += nbytes
             while inflight_bytes > self.INFLIGHT_BYTES and len(inflight) > 1:
@@ -447,9 +468,10 @@ class PairScorer:
             t0 = time.perf_counter()
             NLB = bucket.nlb
             Lk = NLB * kappa
+            wb = bucket.w
             if use_dev:
                 pidx, xts, lens, starts = bucket_arrays_meta(
-                    bucket, w, self.dev_codes)
+                    bucket, self.dev_codes)
                 xn, nd = self._vp.viterbi_paths_pairs(
                     jnp.asarray(pidx), self.tables, self.tvecs,
                     jnp.asarray(xts), jnp.asarray(lens),
@@ -460,10 +482,10 @@ class PairScorer:
                 n = len(bucket.groups)
                 N = next_pow2(max(1, n))
                 pidx = np.zeros((N,), np.int32)
-                xts = np.zeros((N, w, 16), np.float32)
-                lens = np.zeros((N, w, 1), np.int32)
-                ck = np.zeros((N, NLB, kappa, 5, w), np.int32)
-                vt = ck.reshape(N, Lk, 5, w)
+                xts = np.zeros((N, wb, 16), np.float32)
+                lens = np.zeros((N, wb, 1), np.int32)
+                ck = np.zeros((N, NLB, kappa, 5, wb), np.int32)
+                vt = ck.reshape(N, Lk, 5, wb)
                 for gi, g in enumerate(bucket.groups):
                     pidx[gi] = g[0].p_idx
                     for wi, it in enumerate(g):
@@ -479,13 +501,13 @@ class PairScorer:
             rows, flat_items, lengths = [], [], []
             for gi, g in enumerate(bucket.groups):
                 for wi, it in enumerate(g):
-                    rows.append(gi * w + wi)
+                    rows.append(gi * wb + wi)
                     flat_items.append(it)
                     lengths.append(it.win.length)
             Kp = self.tables.shape[2]
             NP = xn.shape[0]
-            xnf = xn.reshape(NP * w, Lk)
-            ndf = nd.reshape(NP * w, Lk, Kp)
+            xnf = xn.reshape(NP * wb, Lk)
+            ndf = nd.reshape(NP * wb, Lk, Kp)
             # pad the walk batch to a power of two (pad lanes carry
             # length 0 and exit the walk immediately): the survivor
             # count varies per wave and would otherwise key a fresh

@@ -1,85 +1,76 @@
-"""One-shot kernel ablation run: kappa sweep + gather ablation + prefetch.
+"""Ablation timings for the pending score kernel (run on real TPU).
 
-Prints each result immediately (tunnel-stall friendly).
+Knobs that need no code changes: kappa, w, Kp. Prints GCUPS per config.
+Usage: PYTHONPATH=... python scripts/kernel_ablate.py
 """
-
+import sys
 import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax.numpy as jnp  # noqa: E402
+
+from deciphon_tpu.ops import viterbi_pallas as vp  # noqa: E402
+from deciphon_tpu.ops.costs import build_costs  # noqa: E402
+from deciphon_tpu.profile import sample_profile  # noqa: E402
+from deciphon_tpu.scan.sequence import frag_codes_ending  # noqa: E402
+from deciphon_tpu.utils import enable_compilation_cache  # noqa: E402
+from deciphon_tpu.xtrans import xtrans_cost_vector  # noqa: E402
 
 
-def main():
-    from deciphon_tpu.ops import viterbi_pallas as vp
-    from deciphon_tpu.ops.costs import build_costs
-    from deciphon_tpu.profile import sample_profile
-    from deciphon_tpu.scan.sequence import frag_codes_ending
-    from deciphon_tpu.xtrans import xtrans_cost_vector
-
-    P, K, B, L = 8, 400, 64, 4096
-    costs = [build_costs(sample_profile(100 + i, K)) for i in range(P)]
+def run(P, K, B, L, w, kappa, iters=5):
+    costs = [build_costs(sample_profile(seed=100 + i, core_size=K))
+             for i in range(P)]
+    Kp = vp.common_kp(costs)
+    built = [vp.build_tables(c, Kp) for c in costs]
+    tables = jnp.asarray(np.stack([t for t, _ in built]))
+    tvecs = jnp.asarray(np.stack([v for _, v in built]))
     rng = np.random.default_rng(3)
-    codes = np.zeros((B, L, 5), np.int32)
-    xt = np.zeros((B, 13), np.float32)
+    codes = np.zeros((B, L, 5), dtype=np.int32)
+    xt = np.zeros((B, 13), dtype=np.float32)
     for b in range(B):
         seq = rng.integers(0, 4, size=L).astype(np.int8)
         codes[b] = frag_codes_ending(seq)
         xt[b] = xtrans_cost_vector(True, False, L)
-    lengths = np.full((B,), L, np.int32)
+    lengths = np.full((B,), L, dtype=np.int32)
+    xts, lens, ck = vp.pack_windows(xt, codes, lengths, kappa=kappa,
+                                    mode="pending", w=w)
+    WG = xts.shape[0]
+    pidx = jnp.asarray(np.arange(P, dtype=np.int32).repeat(WG))
+    xts_d = jnp.asarray(np.tile(xts, (P, 1, 1)))
+    lens_d = jnp.asarray(np.tile(lens, (P, 1, 1)))
+    ck_d = jnp.asarray(np.tile(ck, (P, 1, 1, 1, 1)))
+
+    def disp():
+        return vp.viterbi_scores_pairs(
+            pidx, tables, tvecs, xts_d, lens_d, ck_d, kappa=kappa,
+            mode="pending", prefetch=False)
+
+    a, n = disp()
+    float(np.asarray(a).sum())
+    t0 = time.perf_counter()
+    outs = [disp() for _ in range(iters)]
+    float(np.asarray(outs[-1][0]).sum())
+    dt = (time.perf_counter() - t0) / iters
     cells = P * B * L * 5 * K
-    print("workload ready", flush=True)
-
-    def run_config(label, kappa=32, prefetch=False, patch_gather=None):
-        vp.PREFETCH = prefetch
-        saved = vp._kernel
-        eng = vp.PallasScanEngine(costs)
-        xts, lens, ck = vp.pack_windows(xt, codes, lengths, kappa=kappa)
-        args = (eng.tables, eng.tvecs, jnp.asarray(xts), jnp.asarray(lens),
-                jnp.asarray(ck))
-        try:
-            out = vp.viterbi_scores_grid(*args, kappa=kappa)
-            jax.block_until_ready(out)
-            times = []
-            for _ in range(4):
-                t0 = time.perf_counter()
-                out = vp.viterbi_scores_grid(*args, kappa=kappa)
-                jax.block_until_ready(out)
-                times.append(time.perf_counter() - t0)
-            dt = min(times)
-            print(f"{label:28s} dt={dt*1e3:7.1f}ms GCUPS={cells/dt/1e9:6.2f}",
-                  flush=True)
-            return np.asarray(out[0])
-        finally:
-            vp._kernel = saved
-            vp.PREFETCH = False
-
-    base = run_config("kappa=32 (default)")
-    for kappa in (16, 64, 128):
-        run_config(f"kappa={kappa}", kappa=kappa)
-    run_config("kappa=32 prefetch", prefetch=True)
-    run_config("kappa=64 prefetch", kappa=64, prefetch=True)
-
-    # gather ablation: constant code (row 0) -> measures non-gather ceiling
-    ck0 = np.zeros_like(codes)
-    vp.PREFETCH = False
-    eng = vp.PallasScanEngine(costs)
-    xts, lens, ck = vp.pack_windows(xt, ck0, lengths)
-    args = (eng.tables, eng.tvecs, jnp.asarray(xts), jnp.asarray(lens),
-            jnp.asarray(ck))
-    out = vp.viterbi_scores_grid(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        out = vp.viterbi_scores_grid(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    print(f"{'constant-code (cache-hot)':28s} dt={dt*1e3:7.1f}ms "
-          f"GCUPS={cells/dt/1e9:6.2f}", flush=True)
+    print(f"P={P} K={K} Kp={Kp} B={B} L={L} w={w} kappa={kappa}: "
+          f"{cells/dt/1e9:.1f} GCUPS ({dt*1e3:.1f} ms)")
+    return cells / dt / 1e9
 
 
 if __name__ == "__main__":
-    main()
+    enable_compilation_cache()
+    # baseline bench shape
+    run(8, 400, 128, 4096, 128, 40)
+    # kappa sweep (grid-step overhead vs SMEM block size)
+    run(8, 400, 128, 4096, 128, 80)
+    run(8, 400, 128, 4096, 128, 160)
+    # width sweep (gather count scales with w; VMEM pressure too)
+    run(8, 400, 128, 4096, 64, 40)
+    run(8, 400, 256, 4096, 256, 40)
+    # lane-packing: smaller K in same Kp bucket (pure padding effect)
+    run(8, 500, 128, 4096, 128, 40)
+    # bigger Kp bucket
+    run(8, 1000, 128, 4096, 64, 40)
