@@ -62,15 +62,18 @@ def run(P, K, B, L, w, kappa, iters=5):
 
 if __name__ == "__main__":
     enable_compilation_cache()
-    # baseline bench shape
-    run(8, 400, 128, 4096, 128, 40)
-    # kappa sweep (grid-step overhead vs SMEM block size)
-    run(8, 400, 128, 4096, 128, 80)
-    run(8, 400, 128, 4096, 128, 160)
-    # width sweep (gather count scales with w; VMEM pressure too)
-    run(8, 400, 128, 4096, 64, 40)
-    run(8, 400, 256, 4096, 256, 40)
-    # lane-packing: smaller K in same Kp bucket (pure padding effect)
-    run(8, 500, 128, 4096, 128, 40)
-    # bigger Kp bucket
-    run(8, 1000, 128, 4096, 64, 40)
+    for cfg in [
+        # width sweep (gather count scales with w; VMEM pressure too)
+        (8, 400, 128, 4096, 64, 40),
+        (8, 400, 128, 4096, 32, 40),
+        (8, 400, 256, 4096, 256, 40),
+        # lane-packing: K near the bucket top (pure padding effect)
+        (8, 500, 128, 4096, 128, 40),
+        # bigger Kp bucket
+        (8, 1000, 128, 4096, 64, 40),
+        (8, 2000, 128, 4096, 32, 40),
+    ]:
+        try:
+            run(*cfg)
+        except Exception as e:
+            print(f"config {cfg} failed: {type(e).__name__}")
