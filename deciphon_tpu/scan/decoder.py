@@ -50,6 +50,18 @@ class Decoder:
         self.bg_q = nuclt_marginal_lprobs(
             profile.bg_codon_lprobs.astype(np.float64))
         self._consts = _di_class_logconst(profile.epsilon)
+        # (distribution, fragment code) -> (codon, amino): decoding is a
+        # pure function of the pair and real scans repeat pairs heavily
+        # (the same hit alignment recurs across reads), so survivor-heavy
+        # scans decode mostly from this table
+        self._memo: dict[tuple[int, int], tuple[str, str]] = {}
+
+    def _dist_key(self, sid: int) -> int:
+        if st.is_insert(sid):
+            return -1
+        if st.is_match(sid):
+            return st.core_idx(sid)
+        return -2
 
     def _dist_for(self, sid: int):
         if st.is_insert(sid):
@@ -76,28 +88,46 @@ class Decoder:
         return codon_symbols(zi), self.gencode.decode(zi)
 
     def decode_batch(self, sids, frag_codes) -> list[tuple[str, str]]:
-        """Vectorized decode of many steps at once (one hit's emitting
-        steps): identical results to decode_codon_amino per step, without
-        the per-step table-slicing overhead."""
+        """Vectorized + memoized decode of many steps at once: identical
+        results to decode_codon_amino per step; only (distribution,
+        fragment) pairs never seen before pay the conditional-score
+        math."""
         B = len(sids)
         if B == 0:
             return []
-        fcs = np.asarray(frag_codes, np.int64)
-        codons = np.empty((B, 64), np.float64)
-        q = np.empty((B, 4), np.float64)
-        for i, sid in enumerate(sids):
-            codons[i], q[i] = self._dist_for(sid)
-        cond = self._cond_scores_batch(fcs, q)  # (B, 64)
-        joint = codons + cond
-        zis = np.argmax(joint, axis=1)
-        best = joint[np.arange(B), zis]
-        if not np.isfinite(best).all():
-            bad = int(np.argmin(np.isfinite(best)))
-            raise ValueError(
-                f"cannot decode fragment code {frag_codes[bad]} in state "
-                f"{sids[bad]}")
-        return [(codon_symbols(int(z)), self.gencode.decode(int(z)))
-                for z in zis]
+        out: list[tuple[str, str] | None] = [None] * B
+        keys = []
+        miss: list[int] = []
+        for i in range(B):
+            key = (self._dist_key(sids[i]), int(frag_codes[i]))
+            keys.append(key)
+            got = self._memo.get(key)
+            if got is None:
+                miss.append(i)
+            else:
+                out[i] = got
+        if miss:
+            fcs = np.asarray([int(frag_codes[i]) for i in miss], np.int64)
+            M = len(miss)
+            codons = np.empty((M, 64), np.float64)
+            q = np.empty((M, 4), np.float64)
+            for j, i in enumerate(miss):
+                codons[j], q[j] = self._dist_for(sids[i])
+            cond = self._cond_scores_batch(fcs, q)  # (M, 64)
+            joint = codons + cond
+            zis = np.argmax(joint, axis=1)
+            best = joint[np.arange(M), zis]
+            if not np.isfinite(best).all():
+                bad = miss[int(np.argmin(np.isfinite(best)))]
+                raise ValueError(
+                    f"cannot decode fragment code {frag_codes[bad]} in "
+                    f"state {sids[bad]}")
+            for j, i in enumerate(miss):
+                got = (codon_symbols(int(zis[j])),
+                       self.gencode.decode(int(zis[j])))
+                self._memo[keys[i]] = got
+                out[i] = got
+        return out
 
     def _cond_scores_batch(self, fcs: np.ndarray, q: np.ndarray) -> np.ndarray:
         """log p(F | z) for all 64 codons, one row per fragment."""

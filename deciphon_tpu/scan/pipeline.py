@@ -29,8 +29,9 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from .. import states as st
-from ..frame import frag_code
 from ..ops.costs import ViterbiCosts, build_costs
 from ..profile import FrameProfile
 from .decoder import Decoder
@@ -40,6 +41,8 @@ from .sequence import Sequence
 from .window import WindowCursor
 
 HMMER_MAX_AMINO = 100000  # c-core/thread.c:184
+
+_state_name_cached = functools.lru_cache(maxsize=1 << 16)(st.state_name)
 
 
 def lrt(null_cost: float, alt_cost: float) -> float:
@@ -493,28 +496,39 @@ class Scanner:
 
         window_syms = seq.data[win.start:win.stop]
         decoder = self._decoder(p_idx)
-        steps: list[MatchStep] = []
         aminos: list[str] = []
-        pos = sum(sz for _, sz in path[:begin])
+        pos0 = sum(sz for _, sz in path[:begin])
 
-        emit_idx: list[int] = []
-        emit_sids: list[int] = []
-        emit_fcs: list[int] = []
-        for sid, size in path[begin:end]:
-            frag = window_syms[pos:pos + size]
-            if st.is_mute(sid) or size == 0:
-                steps.append(MatchStep(frag, st.state_name(sid), "", ""))
-            else:
-                fc = frag_code(tuple(
-                    "ACGT".index(ch) if ch in "ACGT" else 3
-                    for ch in frag))
-                emit_idx.append(len(steps))
-                emit_sids.append(sid)
-                emit_fcs.append(fc)
-                steps.append(MatchStep(frag, st.state_name(sid), "", ""))
-            pos += size
+        # Vectorized step assembly (the per-survivor host decode was the
+        # measured hot spot of survivor-heavy scans): fragment codes come
+        # straight from the window's precomputed END-indexed code table
+        # (code of the fragment ending at e with duration d sits at
+        # codes[e-1, d-1]) instead of per-step Python re-encoding, and
+        # state names are memoized.
+        arr = np.asarray(path[begin:end], dtype=np.int64)
+        sids = arr[:, 0]
+        sizes = arr[:, 1]
+        ends = pos0 + np.cumsum(sizes)
+        starts_rel = ends - sizes
+        cls = sids >> 14
+        is_x = cls == 3
+        mute = (cls == 2) | (is_x & (np.isin(sids & 0x3FFF,
+                                             (st.STATE_S & 0x3FFF,
+                                              st.STATE_B & 0x3FFF,
+                                              st.STATE_E & 0x3FFF,
+                                              st.STATE_T & 0x3FFF))))
+        emit = (~mute) & (sizes > 0)
+        codes_win = it.codes  # (L, 5) END-indexed window fragment codes
+        emit_pos = np.nonzero(emit)[0]
+        fcs = codes_win[ends[emit_pos] - 1, sizes[emit_pos] - 1]
+
+        names = [_state_name_cached(int(s)) for s in sids]
+        steps = [MatchStep(window_syms[s:e], nm, "", "")
+                 for s, e, nm in zip(starts_rel, ends, names)]
         for i, (codon, amino) in zip(
-                emit_idx, decoder.decode_batch(emit_sids, emit_fcs)):
+                emit_pos,
+                decoder.decode_batch([int(sids[i]) for i in emit_pos],
+                                     fcs)):
             steps[i].codon = codon
             steps[i].amino = amino
             aminos.append(amino)

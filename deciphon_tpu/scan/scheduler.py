@@ -180,7 +180,8 @@ def chunk_sizes(n: int) -> list[int]:
 
 
 def build_batches(items: list[PairItem], kappa: int,
-                  max_pairs: int | None = None, w: int = W) -> list[_Bucket]:
+                  max_pairs: int | None = None, w: int = W,
+                  nlb_floor: int = 1) -> list[_Bucket]:
     """Bucket items by padded-length rung, group per profile into w-slots.
 
     The group width adapts PER (length-rung, profile): long-window rungs
@@ -188,10 +189,13 @@ def build_batches(items: list[PairItem], kappa: int,
     scorer-wide width was measured to dominate device time (a 100 knt
     window group with 2 real slots of 32 wastes 94% of its compute).  `w`
     caps the width; each bucket carries the width its groups were built
-    with."""
+    with.  `nlb_floor` merges sub-floor rungs into one bucket — short
+    reads otherwise spray one near-free kernel call per (rung, scorer),
+    and per-call dispatch latency, not compute, dominates those."""
     per: dict[tuple[int, int], list[PairItem]] = {}
     for it in items:
-        nlb = quantize_nlb(max(1, -(-it.win.length // kappa)))
+        nlb = max(nlb_floor,
+                  quantize_nlb(max(1, -(-it.win.length // kappa))))
         per.setdefault((nlb, it.p_idx), []).append(it)
 
     buckets: dict[tuple[int, int], _Bucket] = {}
@@ -300,6 +304,13 @@ class PairScorer:
     production path, which cuts per-round host->device traffic from
     megabytes of codes to kilobytes of metadata."""
 
+    # Merge length rungs below this into one bucket: a 32-block (1280 nt
+    # at kappa 40) kernel call costs microseconds of compute but each
+    # call pays dispatch latency and a compile shape; short reads spray
+    # rungs otherwise.  Host-side engines keep floor 1 (their cost IS
+    # the padded compute).
+    NLB_FLOOR = 32
+
     # Cap on device bytes materialized by in-flight dispatches (the
     # gathered (N, NLB, kappa, 5, w) blocks): force-collect the oldest
     # call once exceeded so a survivor- or window-heavy round can't queue
@@ -362,7 +373,8 @@ class PairScorer:
         inflight = []
         results: dict[int, tuple[float, float]] = {}
         inflight_bytes = 0
-        for bucket in build_batches(items, self.kappa, w=w_eff):
+        for bucket in build_batches(items, self.kappa, w=w_eff,
+                                    nlb_floor=self.NLB_FLOOR):
             t0 = time.perf_counter()
             if use_dev:
                 pidx, xts, lens, starts = bucket_arrays_meta(
