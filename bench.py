@@ -83,7 +83,10 @@ def bench_kernel(args) -> dict:
 
     # Pack once (host), then time the device path only: one pair per
     # profile, each carrying a W-wide window group (production shape).
-    w = min(128, max(8, B))
+    # Width follows the scheduler's VMEM budget (state planes scale with
+    # w * Kp; the table tier holds ~16 MB of VMEM total).
+    w = min(128, max(8, B),
+            max(8, BucketedPairScorer.W_LANE_BUDGET // Kp))
     if hbm:
         w = 8
         while w * 2 <= min(128, B,
