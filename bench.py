@@ -400,9 +400,14 @@ def main() -> None:
                                    "scan_reads_per_s")
             vs = value / extra["scan_cpu"]["reads_per_s"]
             if kr:
+                # ratio against the sweep's K=400 row — closest to the
+                # scan workload's K mix (best-shape kernel GCUPS would
+                # overstate the denominator)
+                sweep = kr["extra"].get("kernel_sweep")
+                ref = (sweep[0]["gcups"] if sweep
+                       else extra["kernel"]["gcups"])
                 extra["scan"]["vs_kernel_gcups"] = round(
-                    extra["scan"]["scan_gcups"]
-                    / extra["kernel"]["gcups"], 3)
+                    extra["scan"]["scan_gcups"] / ref, 3)
         elif kr:
             value, unit, metric = (extra["kernel"]["gcups"], "GCUPS/chip",
                                    "viterbi_gcups")

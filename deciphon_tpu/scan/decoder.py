@@ -53,8 +53,11 @@ class Decoder:
         # (distribution, fragment code) -> (codon, amino): decoding is a
         # pure function of the pair and real scans repeat pairs heavily
         # (the same hit alignment recurs across reads), so survivor-heavy
-        # scans decode mostly from this table
+        # scans decode mostly from this table.  Capped: the key space is
+        # (K+2) x 1364 and a huge-K profile could otherwise grow it into
+        # GBs on a pathological scan.
         self._memo: dict[tuple[int, int], tuple[str, str]] = {}
+        self._memo_cap = 2_000_000
 
     def _dist_key(self, sid: int) -> int:
         if st.is_insert(sid):
@@ -122,10 +125,12 @@ class Decoder:
                 raise ValueError(
                     f"cannot decode fragment code {frag_codes[bad]} in "
                     f"state {sids[bad]}")
+            memo_full = len(self._memo) >= self._memo_cap
             for j, i in enumerate(miss):
                 got = (codon_symbols(int(zis[j])),
                        self.gencode.decode(int(zis[j])))
-                self._memo[keys[i]] = got
+                if not memo_full:
+                    self._memo[keys[i]] = got
                 out[i] = got
         return out
 

@@ -341,7 +341,13 @@ class Scanner:
             writer.sort_lines()
             self.metrics.products = len(writer.lines)
             log.info("scan done: %s", self.metrics.summary())
-            return writer.close()
+            out = writer.close()
+        # release the scan-resident device code buffer (the next run
+        # uploads its own batch)
+        if self._dev_codes is not None:
+            self.scorer.set_device_codes(None)
+            self._dev_codes = None
+        return out
 
     def _next_item(self, p: int, s: int, cur: WindowCursor,
                    sequences) -> PairItem | None:
