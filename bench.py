@@ -286,6 +286,8 @@ def bench_scan_hits(args) -> dict:
     dt = time.perf_counter() - t0
     m = scanner.metrics
     p2 = sum(v for k, v in m.walls.items() if k.startswith("phase2"))
+    p2_dev = (m.walls.get("phase2_path", 0.0)
+              + m.walls.get("phase2_collect", 0.0))
     return {
         "reads_per_s": round(len(reads) / dt, 2),
         "wall_s": round(dt, 3),
@@ -294,6 +296,10 @@ def bench_scan_hits(args) -> dict:
         "survivors": m.survivors,
         "products": m.products,
         "phase2_share": round(p2 / dt, 3),
+        # device-side phase 2 only (path kernel + traceback walk + fetch);
+        # the rest of phase2_share is host decode/product work the
+        # reference pipeline performs serially per hit too
+        "phase2_device_share": round(p2_dev / dt, 3),
         "walls": {k: round(v, 3) for k, v in sorted(m.walls.items())},
     }
 

@@ -68,7 +68,8 @@ class WindowCursor:
         w = min(self.core_size * LENGTH_FACTOR, MAX_WINDOW)
         if self.seq_size <= w:
             return 1
-        step = max(w - self.core_size * OVERLAP_FACTOR, 1)
+        # hit-free stride: next start = stop + 1 - 4K (window.c:21-27)
+        step = max(w + 1 - self.core_size * OVERLAP_FACTOR, 1)
         return 1 + -(-(self.seq_size - w) // step)
 
     # Snapshot/restore: the scan pipeline speculates windows ahead of the

@@ -166,3 +166,50 @@ def test_amino_overflow_writes_match_line_without_confirmation(
     assert calls == [], "confirmer must not be called above the limit"
     # evalue column is 1 (logevalue 0) since no confirmation happened
     assert {r[10] for r in rows} == {"1"}
+
+
+def test_estimate_windows_matches_hit_free_walk():
+    """The speculation depth seed must equal the actual no-hit window
+    count for any (core_size, seq_size) — an underestimate only costs an
+    extra wave, but an overestimate must never skip windows."""
+    from deciphon_tpu.scan.window import WindowCursor
+
+    for K in (5, 50, 173, 500, 2000, 4000):
+        for L in (1, 10, 100, 2499, 2500, 2501, 10000, 100000, 250000):
+            cur = WindowCursor(K, L)
+            est = cur.estimate_windows()
+            n = 0
+            while cur.next() is not None:
+                n += 1
+                assert n <= est + 1, (K, L, n, est)
+            assert est == n, (K, L, n, est)
+
+
+def test_rewind_restores_serial_walk():
+    """Speculated cursors rewound via state()/restore() replay the exact
+    serial sequence the reference's window.c walk produces."""
+    from deciphon_tpu.scan.window import WindowCursor
+
+    K, L = 100, 30000
+    serial = WindowCursor(K, L)
+    wins = []
+    # serial walk with a hit reported in window 1
+    w = serial.next()
+    wins.append((w.idx, w.start, w.stop))
+    serial.set_last_hit_position(4321)
+    while (w := serial.next()) is not None:
+        wins.append((w.idx, w.start, w.stop))
+
+    spec = WindowCursor(K, L)
+    w0 = spec.next()
+    post0 = spec.state()
+    # speculate 3 windows ahead assuming no hit
+    spec_ahead = [spec.next() for _ in range(3)]
+    assert all(s is not None for s in spec_ahead)
+    # the hit lands: rewind to the post-window-0 state and re-derive
+    spec.restore(post0)
+    spec.set_last_hit_position(4321)
+    replay = [(w0.idx, w0.start, w0.stop)]
+    while (w := spec.next()) is not None:
+        replay.append((w.idx, w.start, w.stop))
+    assert replay == wins
