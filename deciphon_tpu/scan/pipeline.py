@@ -321,7 +321,11 @@ class Scanner:
             if should_stop is not None and should_stop():
                 # interrupt contract (c-core/scan.c:199-204): stop between
                 # scoring waves; with checkpointing the journal preserves
-                # finished pairs for a later resume.
+                # finished pairs for a later resume.  Release the device
+                # code buffer on the way out.
+                if self._dev_codes is not None:
+                    self.scorer.set_device_codes(None)
+                    self._dev_codes = None
                 raise Scanner.Interrupted("scan interrupted")
             wave = assemble()
             if can_pipeline:

@@ -179,8 +179,7 @@ def chunk_sizes(n: int) -> list[int]:
     return out
 
 
-def build_batches(items: list[PairItem], kappa: int,
-                  max_pairs: int | None = None, w: int = W,
+def build_batches(items: list[PairItem], kappa: int, w: int = W,
                   nlb_floor: int = 1) -> list[_Bucket]:
     """Bucket items by padded-length rung, group per profile into w-slots.
 
