@@ -523,7 +523,8 @@ def start_codes(c_end: np.ndarray) -> np.ndarray:
     L = c_end.shape[-2]
     out = np.zeros_like(c_end)
     for t in range(1, 6):
-        out[..., : L - (t - 1), t - 1] = c_end[..., t - 1:, t - 1]
+        n = max(0, L - (t - 1))  # clamp: a negative stop slices wrongly
+        out[..., :n, t - 1] = c_end[..., t - 1:t - 1 + n, t - 1]
     return out
 
 

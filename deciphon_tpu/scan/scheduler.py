@@ -106,6 +106,35 @@ class PairItem:
                                   self.win.length)
 
 
+def _start_codes_device(bases):
+    """START-indexed fragment codes computed on device from raw bases.
+
+    bases (T,) int8 in [0, 4) -> (T, 5) int32 where row p, column t-1 is
+    the code of the length-t fragment starting at p: FRAG_OFFSETS[t-1] +
+    sum_i bases[p+i] * 4^(t-1-i) (frame.py layout, identical to the host
+    start_codes for every fragment that stays inside one sequence).
+    Rows whose fragment runs past T wrap via jnp.roll — such rows are
+    never consumed (they map to DP positions past a window's end).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..frame import FRAG_OFFSETS
+
+    @jax.jit
+    def compute(b8):
+        b = b8.astype(jnp.int32)
+        cols = []
+        for t in range(1, 6):
+            v = jnp.zeros_like(b)
+            for i in range(t):
+                v = v * 4 + jnp.roll(b, -i)
+            cols.append(FRAG_OFFSETS[t - 1] + v)
+        return jnp.stack(cols, axis=1)
+
+    return compute(bases)
+
+
 class DeviceSeqCodes:
     """Scan-resident START-indexed fragment codes, uploaded once per scan.
 
@@ -124,21 +153,24 @@ class DeviceSeqCodes:
     def __init__(self, sequences):
         import jax.numpy as jnp
 
-        from ..ops.viterbi_pallas import start_codes
-
         self.offsets: list[int] = []
         total = 0
         parts = []
         for s in sequences:
             self.offsets.append(total)
-            parts.append(start_codes(s.codes))
+            parts.append(s.symbols)
             total += s.size
         tpad = -(-max(total, 1) // self.ROW_QUANTUM) * self.ROW_QUANTUM
-        host = np.zeros((tpad, 5), np.int32)
+        # ship 1 byte/nt of BASES and derive the (Tpad, 5) code table on
+        # device: the code table is 20 bytes/nt and the host link is the
+        # cost (codes crossing a sequence boundary differ from the
+        # host-side per-sequence precompute but are only ever read for DP
+        # positions past a window's end, which are never captured)
+        host = np.zeros((tpad,), np.int8)
         if parts:
-            host[:total] = np.concatenate(parts, axis=0)
+            host[:total] = np.concatenate(parts)
         self.total = total
-        self.dev = jnp.asarray(host)
+        self.dev = _start_codes_device(jnp.asarray(host))
         # pad slots point past every real row; the gather clip keeps the
         # read in bounds and `length == 0` keeps the result uncaptured
         self.pad_start = tpad - 1

@@ -241,3 +241,23 @@ def test_path_kernel_trellis_bit_parity():
                        np.concatenate([np.zeros((1, K), np.uint16), kn]),
                        L, K)
             assert pk == unzip(oxn[b], ond[b], L, K)
+
+
+def test_device_start_codes_match_host():
+    """The device-computed start-indexed code table equals the host
+    per-sequence precompute for every fragment that stays inside the
+    sequence (rows past T-t are unused by construction)."""
+    import jax.numpy as jnp
+
+    from deciphon_tpu.ops.viterbi_pallas import start_codes
+    from deciphon_tpu.scan.scheduler import _start_codes_device
+    from deciphon_tpu.scan.sequence import frag_codes_ending
+
+    rng = np.random.default_rng(3)
+    for T in (1, 2, 7, 64, 501):
+        bases = rng.integers(0, 4, size=T).astype(np.int8)
+        host = start_codes(frag_codes_ending(bases))
+        dev = np.asarray(_start_codes_device(jnp.asarray(bases)))
+        for t in range(1, 6):
+            n = max(0, T - (t - 1))
+            assert (dev[:n, t - 1] == host[:n, t - 1]).all(), (T, t)
