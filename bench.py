@@ -2,24 +2,31 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Two measurements (VERDICT r1 #4/#7):
+Measurements (each in its own subprocess; the tunneled TPU runtime
+sporadically deadlocks mid-RPC, so every child gets a timeout + retry):
 
-  * kernel GCUPS — the production ragged pairs kernel
-    (ops/viterbi_pallas.py viterbi_scores_pairs, the shape the scan
-    scheduler actually dispatches), timed with device-resident inputs;
-    host packing happens once outside the timed region.
+  * kernel GCUPS sweep — the production ragged pairs kernel at
+    K in {400, 1000} plus the HBM-streamed-table tier at K=16382,
+    device-resident inputs, host packing outside the timed region.
   * end-to-end scan — Scanner.run over a Pfam-shaped ragged profile set
-    (mixed core sizes) x windowed long reads, including windowing, LRT
-    filter, batched phase-2 traceback, decode, and product writing.
-    Reported as reads/s plus aggregate GCUPS from ScanMetrics.
+    (K 50..2000 + one K=4608) x windowed reads incl. 100 knt long
+    reads: windowing, LRT, phase-2 path kernel + device traceback,
+    decode, product writing.  Reported as reads/s, aggregate GCUPS,
+    and per-phase wall breakdown.
+  * end-to-end CPU baseline — the SAME pipeline and workload scored by
+    the multithreaded native AVX2 engine (engine="native"): the
+    measured reads/s denominator of the headline vs_baseline.
+  * survivor-heavy scan — every read a consensus sequence, so phase 2
+    dominates; reports the phase-2 share of wall.
 
 Cell definition (BASELINE.md / SURVEY.md §6): one cell = one (l, t, k)
 M/I/D update (~9 min-plus ops, c-core/viterbi.c:526-541 equivalent).
 Cells count TRUE profile nodes only (lane padding is our overhead).
 
-vs_baseline normalizes kernel GCUPS against the multithreaded native C++
-re-implementation of the reference's striped kernel (native/), measured
-locally — the reference publishes no throughput numbers (BASELINE.md).
+The headline is scan reads/s with vs_baseline = TPU reads/s / CPU
+reads/s (same units, same pipeline, same machine) — the reference
+publishes no throughput numbers (BASELINE.md), so the baseline is
+measured locally.
 """
 
 from __future__ import annotations
