@@ -106,6 +106,24 @@ class PairItem:
                                   self.win.length)
 
 
+def _start_codes_compute(b8):
+    from ..frame import FRAG_OFFSETS
+
+    import jax.numpy as jnp
+
+    b = b8.astype(jnp.int32)
+    cols = []
+    for t in range(1, 6):
+        v = jnp.zeros_like(b)
+        for i in range(t):
+            v = v * 4 + jnp.roll(b, -i)
+        cols.append(FRAG_OFFSETS[t - 1] + v)
+    return jnp.stack(cols, axis=1)
+
+
+_start_codes_jit = None  # module-level: ONE jit, cached across scans
+
+
 def _start_codes_device(bases):
     """START-indexed fragment codes computed on device from raw bases.
 
@@ -116,23 +134,12 @@ def _start_codes_device(bases):
     Rows whose fragment runs past T wrap via jnp.roll — such rows are
     never consumed (they map to DP positions past a window's end).
     """
-    import jax
-    import jax.numpy as jnp
+    global _start_codes_jit
+    if _start_codes_jit is None:
+        import jax
 
-    from ..frame import FRAG_OFFSETS
-
-    @jax.jit
-    def compute(b8):
-        b = b8.astype(jnp.int32)
-        cols = []
-        for t in range(1, 6):
-            v = jnp.zeros_like(b)
-            for i in range(t):
-                v = v * 4 + jnp.roll(b, -i)
-            cols.append(FRAG_OFFSETS[t - 1] + v)
-        return jnp.stack(cols, axis=1)
-
-    return compute(bases)
+        _start_codes_jit = jax.jit(_start_codes_compute)
+    return _start_codes_jit(bases)
 
 
 class DeviceSeqCodes:
