@@ -133,3 +133,29 @@ def test_scan_with_native_confirmation(minifam_profiles, consensus_sequences,
 
     h3r = H3Result.from_blob(prods[0].h3result_blob)
     assert h3r.nhits == 1
+
+
+def test_products_invariant_to_speculation_depth(tmp_path):
+    """spec_depth=1 is the serial reference walk; deeper speculation with
+    hit rewinds must produce byte-identical products on a hit-rich
+    workload (minifam x consensus reads, every pair hits)."""
+    import json
+
+    from deciphon_tpu.io.dcp import read_dcp_profiles
+    from deciphon_tpu.scan.pipeline import ScanConfig, Scanner
+    from deciphon_tpu.scan.sequence import Sequence
+
+    _, profiles = read_dcp_profiles(
+        "/root/reference/control/tests/files/minifam.dcp")
+    cons = json.load(open("tests/data_consensus.json"))
+    # duplicate reads so cursors hold multi-window chains worth rewinding
+    seqs = [Sequence.make(i, f"{s['name']}.{i}", s["seq"] * 3)
+            for i, s in enumerate(cons * 2)]
+
+    outs = []
+    for depth in (1, 64):
+        cfg = ScanConfig(engine="jax", spec_depth=depth)
+        out = Scanner(profiles, cfg).run(seqs, str(tmp_path / f"d{depth}"))
+        outs.append(open(out).read())
+    assert outs[0] == outs[1]
+    assert outs[0].count("\n") > len(seqs)  # real hit-rich products
