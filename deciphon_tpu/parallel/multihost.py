@@ -70,8 +70,10 @@ def _global_counters(local: dict[str, float],
 
     Counters are integers that overflow f32 exactness (cells > 2^24 on any
     real scan) and JAX runs x64-disabled by default, so each value crosses
-    the wire as an exact (hi, lo) 24-bit split in f32 and is reassembled
-    and summed host-side in int64."""
+    the wire as four exact 16-bit limbs in f32 (every limb < 2^16 << 2^24,
+    so the split covers the full non-negative int64 range — a multi-host
+    'cells' counter can plausibly exceed 2^48) and is reassembled and
+    summed host-side in int64."""
     if num_processes <= 1:
         return dict(local)
     import jax.numpy as jnp
@@ -80,11 +82,13 @@ def _global_counters(local: dict[str, float],
 
     keys = sorted(local)
     vals = np.asarray([int(local[k]) for k in keys], np.int64)
-    hi_lo = np.stack([vals >> 24, vals & 0xFFFFFF], axis=1)
+    limbs = np.stack([(vals >> s) & 0xFFFF for s in (48, 32, 16, 0)],
+                     axis=1)
     gathered = multihost_utils.process_allgather(
-        jnp.asarray(hi_lo, jnp.float32))  # (P, nkeys, 2), each exact
+        jnp.asarray(limbs, jnp.float32))  # (P, nkeys, 4), each exact
     g = np.asarray(gathered, np.int64)
-    total = ((g[..., 0] << 24) + g[..., 1]).sum(axis=0)
+    total = sum(g[..., i] << s
+                for i, s in enumerate((48, 32, 16, 0))).sum(axis=0)
     return {k: int(total[i]) for i, k in enumerate(keys)}
 
 
@@ -107,7 +111,14 @@ def wait_for_shards(shared_dir: str, num_processes: int,
                 pendings.discard(pid)
                 done.append(pid)
             elif is_alive is not None and not is_alive(pid):
-                pendings.discard(pid)  # dead without sentinel: failed
+                # Dead worker — but its sentinel is durable and may have
+                # landed between the exists() check above and the
+                # liveness probe, so re-check before declaring failure
+                # (a completed shard must never be dropped from a merge).
+                if os.path.exists(os.path.join(shared_dir,
+                                               f"shard.{pid}.done")):
+                    done.append(pid)
+                pendings.discard(pid)
         if not pendings:
             break
         if time.monotonic() > deadline:
@@ -231,6 +242,16 @@ def supervise_shards(shared_dir: str, num_processes: int, spawn, *,
             else:
                 failed.add(pid)
         if time.monotonic() > deadline:
+            # Kill every straggler BEFORE writing the failure report: an
+            # orphaned worker could otherwise write its sentinel after
+            # failures.json exists, or race a retry/merge over the same
+            # shard dir.
+            for pid, proc in procs.items():
+                if pid not in done and proc.poll() is None:
+                    kill = getattr(proc, "kill", None) or getattr(
+                        proc, "terminate", None)
+                    if kill is not None:
+                        kill()
             failed.update(pid for pid in range(num_processes)
                           if pid not in done)
             break

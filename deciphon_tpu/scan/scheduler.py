@@ -31,7 +31,13 @@ W = 8  # default windows per group (scorers may choose wider groups)
 
 # Debug: force a device sync after every scoring dispatch and record the
 # per-bucket device wall into the metrics (perf attribution only).
-_SYNC_DEBUG = bool(os.environ.get("DECIPHON_SYNC_DEBUG"))
+# Re-read per dispatch so a caller (bench.py's attribution pass) can
+# toggle it between scans of one process; "0"/"false" disable it.
+
+
+def _sync_debug() -> bool:
+    return os.environ.get("DECIPHON_SYNC_DEBUG", "").lower() not in (
+        "", "0", "false")
 
 
 def next_pow2(n: int) -> int:
@@ -201,12 +207,14 @@ NCHUNK = 64
 
 
 def chunk_sizes(n: int) -> list[int]:
-    """Decompose a group count into {NCHUNK, 8, 1} chunks.
+    """Decompose a group count into chunks padding to {NCHUNK, 8, 1}.
 
-    Every kernel call's leading dim is then one of exactly THREE values,
-    so the compiled-program count stays flat regardless of workload shape
-    (free-form power-of-two tails multiplied the cold compile wall), with
-    zero pad-pair compute waste."""
+    Every kernel call's leading dim (after pad_groups) is then one of
+    exactly THREE values, so the compiled-program count stays flat
+    regardless of workload shape (free-form power-of-two tails multiplied
+    the cold compile wall).  A 2..7-group remainder ships as ONE chunk
+    padded to N=8 (pad pairs carry length 0 and are near-free) instead of
+    spraying per-call dispatch latency over N=1 calls."""
     out = []
     while n >= NCHUNK:
         out.append(NCHUNK)
@@ -214,8 +222,16 @@ def chunk_sizes(n: int) -> list[int]:
     while n >= 8:
         out.append(8)
         n -= 8
-    out.extend([1] * n)
+    if n:
+        out.append(n)
     return out
+
+
+def pad_groups(n: int) -> int:
+    """Padded leading dim for an n-group chunk: one of {1, 8, NCHUNK}."""
+    if n <= 1:
+        return max(n, 1)
+    return 8 if n <= 8 else NCHUNK
 
 
 def build_batches(items: list[PairItem], kappa: int, w: int = W,
@@ -269,7 +285,7 @@ def bucket_arrays(bucket: _Bucket, kappa: int, mode: str = "raw",
     """
     w = bucket.w if w is None else w
     n = len(bucket.groups)
-    N = next_pow2(max(1, n))
+    N = pad_groups(n)
     NLB = bucket.nlb
     Lk = NLB * kappa
 
@@ -318,7 +334,7 @@ def bucket_arrays_meta(bucket: _Bucket, dev_codes: DeviceSeqCodes):
     fused kernel jit gathers on device from `dev_codes`."""
     w = bucket.w
     n = len(bucket.groups)
-    N = next_pow2(max(1, n))
+    N = pad_groups(n)
     pidx = np.zeros((N,), np.int32)
     xts = np.zeros((N, w, 16), np.float32)
     lens = np.zeros((N, w, 1), np.int32)
@@ -443,7 +459,7 @@ class PairScorer:
             if m is not None:
                 m.add_wall("pack", t1 - t0)
                 m.add_wall("dispatch", t2 - t1)
-                if _SYNC_DEBUG:
+                if _sync_debug():
                     np.asarray(alt).sum()
                     Kp = self.tables.shape[2]
                     m.add_wall(
@@ -530,7 +546,7 @@ class PairScorer:
                     interpret=self.interpret)
             else:
                 n = len(bucket.groups)
-                N = next_pow2(max(1, n))
+                N = pad_groups(n)
                 pidx = np.zeros((N,), np.int32)
                 xts = np.zeros((N, wb, 16), np.float32)
                 lens = np.zeros((N, wb, 1), np.int32)
