@@ -171,25 +171,51 @@ class NativePairScorer:
     """
 
     def __init__(self, costs_list, nthreads: int | None = None):
+        import threading
+
         from ..xtrans import XT_RR
 
         self.profiles = [NativeProfile(c) for c in costs_list]
         self.nthreads = nthreads or os.cpu_count() or 1
         self._xt_rr = XT_RR
+        # Wall instrumentation (the same ScanMetrics contract the device
+        # scorers fill): `native_score` is the fan-out wall,
+        # `native_kernel_threads` the SUM of in-kernel thread seconds —
+        # their ratio over nthreads is the measured thread utilization,
+        # so the CPU baseline's denominator is profiled, not a black box.
+        self.metrics = None
+        self._lock = threading.Lock()
+        self._kernel_s = 0.0
 
     def _score_one(self, it):
+        import time
+
+        t0 = time.perf_counter()
         prof = self.profiles[it.p_idx]
         codes = it.codes
         xt = it.xt
         L = it.win.length
         alt = prof.viterbi(codes, L, xt)
         nul = prof.viterbi_null(codes, L, float(xt[self._xt_rr]))
+        dt = time.perf_counter() - t0
+        with self._lock:
+            self._kernel_s += dt
         return id(it), (nul, alt)
 
     def score(self, items) -> dict:
+        import time
         from concurrent.futures import ThreadPoolExecutor
 
+        t0 = time.perf_counter()
+        k0 = self._kernel_s
         if len(items) == 1:
-            return dict([self._score_one(items[0])])
-        with ThreadPoolExecutor(max_workers=self.nthreads) as pool:
-            return dict(pool.map(self._score_one, items))
+            out = dict([self._score_one(items[0])])
+        else:
+            with ThreadPoolExecutor(max_workers=self.nthreads) as pool:
+                out = dict(pool.map(self._score_one, items))
+        if self.metrics is not None:
+            self.metrics.add_wall("native_score",
+                                  time.perf_counter() - t0)
+            self.metrics.add_wall("native_kernel_threads",
+                                  self._kernel_s - k0)
+        return out

@@ -5,7 +5,7 @@ TPU-first re-architecture of the reference's per-thread protein loop
 profiles are padded to a common node count and *stacked* into dense arrays,
 so one jitted computation scores a (P profiles x B windows) tile on the MXU
 host.  The profile axis maps onto the `profile` mesh axis and the window
-axis onto `window` for multi-chip runs (parallel/sharding.py).
+axis onto `window` for multi-chip runs (parallel/multidevice.py).
 """
 
 from __future__ import annotations

@@ -1357,3 +1357,323 @@ def viterbi_paths_pairs(pidx, tables, tvecs, xts, lengths, starts=None,
     return _gather_paths_pairs_jit(pidx, tables, tvecs, xts, lengths,
                                    starts, codes_all, kappa=kappa, nlb=nlb,
                                    interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed small-K tier: NSEG profiles per lane plane.
+#
+# Real Pfam mass sits at small K, and a K=50 profile fills 41% of even the
+# minimum 128-lane bucket while its (W, 128) state planes are too small to
+# amortize the kernel's fixed per-position work (the measured per-PADDED-
+# lane rate grows with Kp; docs/perf_round3.md).  This tier packs NSEG
+# profiles side by side in the lane dim — segment s owns lanes
+# [s*seg, (s+1)*seg), seg = Kp/NSEG — restoring both lane fill and plane
+# size.  The reference's striping wastes nothing at any K
+# (c-core/viterbi.c:195-221); this is the TPU answer for the same regime.
+#
+# The one structural constraint is the emission gather: one table-row copy
+# feeds ALL lanes of a (t, window-slot) pair, so every segment of a slot
+# must scan the SAME window (same sequence, same start/stop — then the
+# fragment codes, window length and xtrans are shared too).  The scan
+# scheduler therefore packs only window-identical items (whole-read
+# windows are identical across profiles by construction, window.c:30);
+# anything else runs on the classic unpacked tier.  To keep one gather
+# per (t, slot) while giving each segment its own background/null
+# emissions, the packed table row is widened to 2*Kp + PACK_PAD:
+#
+#   cols [0, Kp)          match costs, per segment (pads +inf)
+#   cols [Kp, 2*Kp)       the owning segment's background (insert) cost
+#                         replicated across its lanes — lane-aligned with
+#                         the I update, so no per-segment broadcasts
+#   cols [2*Kp, 2*Kp+S)   per-segment null costs — one static (W, S)
+#                         slice feeds all special-state updates
+#
+# Specials (S/N/B/J/E/C/T/R) become per-(window, segment) (W, NSEG)
+# planes; E/B feedback is masked per segment (the masked-feedback design
+# VERDICT r3 named); the delete-chain prefix scan masks at segment
+# boundaries (lane_seg), which also keeps segment s>0 bit-identical to a
+# single-profile run (no catastrophic +/-NEG_BIG cancellation across
+# segments).  Scores are asserted bit-equal to the unpacked kernel in
+# tests/test_pallas_packed.py.
+# ---------------------------------------------------------------------------
+
+PACK_PAD = 128  # pad after the per-segment null column block
+
+
+def packed_width(Kp: int) -> int:
+    """Packed emission-table row width for a Kp-lane plane."""
+    return 2 * Kp + PACK_PAD
+
+
+def build_tables_packed(costs_list: list[ViterbiCosts], seg: int,
+                        nseg: int):
+    """Combined emission table + transition vectors for NSEG profiles.
+
+    costs_list holds <= nseg profiles (missing trailing segments stay
+    +inf everywhere and score +inf).  Each profile needs K + 1 <= seg so
+    at least one +inf pad lane separates segments (the unmasked lane
+    shift then cannot leak finite values across a boundary).
+    Returns (table (1364, 2*Kp+PACK_PAD) f32, tvec (8, Kp) f32)."""
+    assert len(costs_list) <= nseg
+    Kp = seg * nseg
+    Wt = packed_width(Kp)
+    table = np.full((TABLE_SIZE, Wt), np.inf, np.float32)
+    tvec = np.full((8, Kp), np.inf, np.float32)
+    tvec[TV_DDCUM] = 0.0
+    for s, costs in enumerate(costs_list):
+        K = costs.K
+        assert K + 1 <= seg, (K, seg)
+        o = s * seg
+        table[:, o:o + K] = costs.match
+        table[:, Kp + o:Kp + o + seg] = costs.background[:, None]
+        table[:, 2 * Kp + s] = costs.null
+        core = costs.core
+        tvec[TV_BM, o:o + K] = core[CT_BM]
+        tvec[TV_MMS, o:o + K - 1] = core[CT_MM, 1:]
+        tvec[TV_IMS, o:o + K - 1] = core[CT_IM, 1:]
+        tvec[TV_DMS, o:o + K - 1] = core[CT_DM, 1:]
+        tvec[TV_MI, o:o + K] = core[CT_MI]
+        tvec[TV_II, o:o + K] = core[CT_II]
+        tvec[TV_MD, o:o + K] = core[CT_MD]
+        # per-segment saturated DD cumsum: restarting per segment keeps
+        # the prefix values bit-identical to a single-profile build (the
+        # delete-chain scan masks at segment boundaries, so no
+        # cross-segment difference is ever formed)
+        ddc = np.zeros(seg, np.float32)
+        ddc[1:K] = np.minimum(core[CT_DD, 1:K], NEG_BIG)
+        ddc[K:] = NEG_BIG
+        tvec[TV_DDCUM, o:o + seg] = np.cumsum(
+            ddc, dtype=np.float64).astype(np.float32)
+    return table, tvec
+
+
+def _kernel_pending_packed(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
+                           alt_ref, null_ref,
+                           MA, PM, PI, PSM, ST, SS, Tfin, Rfin, *,
+                           kappa, Kp, nseg, nlb_dim, w=W):
+    """Segment-packed variant of _kernel_pending (same recurrence; see the
+    section comment above for the packed layout)."""
+    W = w
+    S = nseg
+    seg = Kp // S
+    nlb = pl.program_id(nlb_dim)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (W, Kp), 1)
+    lane_seg = jax.lax.rem(lane2, seg)
+    seg_id = lane2 // seg
+    xt = xt_ref[0]  # (W, 16); shared per slot (same window, same length)
+
+    def xtc(j):  # (W, 1) broadcasts against the (W, S) specials
+        return xt[:, j:j + 1]
+
+    tv_mms = tvec_ref[0, TV_MMS]
+    tv_ims = tvec_ref[0, TV_IMS]
+    tv_dms = tvec_ref[0, TV_DMS]
+    tv_bm = tvec_ref[0, TV_BM]
+    tv_ii = tvec_ref[0, TV_II]
+    tv_mi = tvec_ref[0, TV_MI]
+    tv_md = tvec_ref[0, TV_MD]
+    tv_ddcum = tvec_ref[0, TV_DDCUM]
+
+    def seg_to_lanes(v):
+        """(W, S) per-segment scalars -> (W, Kp) lane broadcast."""
+        out = v[:, 0:1]
+        for s in range(1, S):
+            out = jnp.where(seg_id == s, v[:, s:s + 1], out)
+        return out
+
+    @pl.when(nlb == 0)
+    def _init():
+        PM[...] = jnp.full((5, W, Kp), INF)
+        PI[...] = jnp.full((5, W, Kp), INF)
+        PSM[...] = jnp.full((4, 5, W, S), INF)
+        ST[...] = jnp.full((3, W, Kp), INF)
+        inf_ws = jnp.full((W, S), INF)
+        SS[...] = jnp.stack([
+            jnp.zeros((W, S)),  # S_0 = 0
+            jnp.broadcast_to(xtc(XT_SB), (W, S)),  # B_0
+            inf_ws, inf_ws, inf_ws, inf_ws,  # N J C E
+            jnp.broadcast_to(-xtc(XT_RR), (W, S)),  # R_0
+        ])
+        Tfin[...] = inf_ws
+        Rfin[...] = inf_ws
+
+    def phase(i, r, sm, si, sd, ss):
+        l = nlb * kappa + 5 * i + r + 1
+        i_blk = 5 * i + r
+        slot = (r + 1) % 5  # l % 5, static
+
+        # one gather per (t, slot): the packed row carries match + lane-
+        # aligned bg + per-segment null, so segments share the DMA
+        for t in range(1, 6):
+            for w_ in range(W):
+                c = codes_ref[0, 0, i_blk, t - 1, w_]
+                MA[t - 1, w_:w_ + 1, :] = table_ref[0, pl.ds(c, 1), :]
+
+        inner = jnp.minimum(jnp.minimum(sm + tv_mms, si + tv_ims),
+                            sd + tv_dms)
+        contrib = jnp.minimum(_lane_shift1(inner),
+                              seg_to_lanes(ss[1]) + tv_bm)
+        icand = jnp.minimum(si + tv_ii, sm + tv_mi)
+        cN = jnp.minimum(ss[0] + xtc(XT_SN), ss[2] + xtc(XT_NN))
+        cJ = jnp.minimum(ss[5] + xtc(XT_EJ), ss[3] + xtc(XT_JJ))
+        cC = jnp.minimum(ss[5] + xtc(XT_EC), ss[4] + xtc(XT_CC))
+        cR = ss[6]
+        for t in range(1, 6):
+            st = (r + t) % 5  # (l-1+t) % 5, static
+            full = MA[t - 1]  # (W, 2*Kp + PACK_PAD)
+            row = full[:, :Kp]
+            bg = full[:, Kp:2 * Kp]  # lane-aligned per-segment bg
+            nil = full[:, 2 * Kp:2 * Kp + S]  # (W, S) per-segment null
+            if t == 5:  # earliest contributor: fresh assignment
+                PM[st] = contrib + row
+                PI[st] = icand + bg
+                PSM[0, st] = cN + nil
+                PSM[1, st] = cJ + nil
+                PSM[2, st] = cC + nil
+                PSM[3, st] = cR + nil
+            else:
+                PM[st] = jnp.minimum(PM[st], contrib + row)
+                PI[st] = jnp.minimum(PI[st], icand + bg)
+                PSM[0, st] = jnp.minimum(PSM[0, st], cN + nil)
+                PSM[1, st] = jnp.minimum(PSM[1, st], cJ + nil)
+                PSM[2, st] = jnp.minimum(PSM[2, st], cC + nil)
+                PSM[3, st] = jnp.minimum(PSM[3, st], cR + nil)
+
+        # -- consume position l ------------------------------------------
+        M_l = PM[slot]
+        I_l = PI[slot]
+        A = _lane_shift1(M_l) + tv_md
+        # segment-masked delete-chain scan: shifts never cross a boundary
+        D_l = _lane_cummin(A - tv_ddcum, lane_seg, seg) + tv_ddcum
+        md = jnp.minimum(M_l, D_l)
+        E_l = jnp.concatenate(
+            [jnp.min(jnp.where(seg_id == s, md, INF), axis=1, keepdims=True)
+             for s in range(S)], axis=1)  # (W, S) masked E feedback
+        N_l = PSM[0, slot]
+        J_l = PSM[1, slot]
+        C_l = PSM[2, slot]
+        R_l = PSM[3, slot] + xtc(XT_RR)
+        B_l = jnp.minimum(jnp.minimum(N_l + xtc(XT_NB), E_l + xtc(XT_EB)),
+                          J_l + xtc(XT_JB))
+        T_l = jnp.minimum(E_l + xtc(XT_ET), C_l + xtc(XT_CT))
+
+        at_end = len_ref[0] == l  # (W, 1): length shared across segments
+        Tfin[...] = jnp.where(at_end, T_l, Tfin[...])
+        Rfin[...] = jnp.where(at_end, R_l, Rfin[...])
+
+        ss_l = jnp.stack([jnp.full((W, S), INF), B_l, N_l, J_l, C_l,
+                          E_l, R_l])
+        return M_l, I_l, D_l, ss_l
+
+    def macro_step(i, _):
+        sm, si, sd = ST[0], ST[1], ST[2]
+        ss = SS[...]
+        for r in range(5):
+            sm, si, sd, ss = phase(i, r, sm, si, sd, ss)
+        ST[0] = sm
+        ST[1] = si
+        ST[2] = sd
+        SS[...] = ss
+        return 0
+
+    jax.lax.fori_loop(0, kappa // 5, macro_step, 0)
+
+    alt_ref[0, 0] = Tfin[...]
+    null_ref[0, 0] = Rfin[...]
+
+
+def _scores_pairs_packed_core(pidx, tables, tvecs, xts, lengths, codes, *,
+                              kappa, nseg, interpret):
+    _, _, Kp = tvecs.shape
+    Wt = tables.shape[2]
+    NPAIR, NLB = codes.shape[0], codes.shape[1]
+    W = codes.shape[4]
+    inner = functools.partial(_kernel_pending_packed, kappa=kappa, Kp=Kp,
+                              nseg=nseg, nlb_dim=1, w=W)
+
+    def kernel(pidx_ref, *rest):
+        inner(*rest)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NPAIR, NLB),
+        in_specs=[
+            pl.BlockSpec((1, 1, kappa, 5, W),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TABLE_SIZE, Wt),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Kp),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, 16), lambda pair, nlb, pidx: (pair, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, 1), lambda pair, nlb, pidx: (pair, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, W, nseg),
+                         lambda pair, nlb, pidx: (pair, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, nseg),
+                         lambda pair, nlb, pidx: (pair, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, W, Wt), jnp.float32),  # MA gather staging
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # PM pending M
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # PI pending I
+            pltpu.VMEM((4, 5, W, nseg), jnp.float32),  # PSM pending N J C R
+            pltpu.VMEM((3, W, Kp), jnp.float32),  # ST prev M/I/D
+            pltpu.VMEM((7, W, nseg), jnp.float32),  # SS prev specials
+            pltpu.VMEM((W, nseg), jnp.float32),  # T final
+            pltpu.VMEM((W, nseg), jnp.float32),  # R final
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((NPAIR, 1, W, nseg), jnp.float32),
+        jax.ShapeDtypeStruct((NPAIR, 1, W, nseg), jnp.float32),
+    ]
+    alt, nul = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(pidx, codes, tables, tvecs, xts, lengths)
+    return alt[:, 0], nul[:, 0]
+
+
+_scores_pairs_packed_jit = functools.partial(jax.jit, static_argnames=(
+    "kappa", "nseg", "interpret"))(_scores_pairs_packed_core)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kappa", "nlb", "nseg", "interpret"))
+def _gather_scores_pairs_packed_jit(pidx, tables, tvecs, xts, lengths,
+                                    starts, codes_all, *, kappa, nlb, nseg,
+                                    interpret):
+    ck = _ck_from_starts(codes_all, starts, nlb, kappa)
+    return _scores_pairs_packed_core(pidx, tables, tvecs, xts, lengths, ck,
+                                     kappa=kappa, nseg=nseg,
+                                     interpret=interpret)
+
+
+def viterbi_scores_pairs_packed(pidx, tables, tvecs, xts, lengths,
+                                codes=None, *, starts=None, codes_all=None,
+                                nlb=None, nseg, kappa=None,
+                                interpret=False):
+    """Score NPAIR (profile-pack, window-group) pairs, NSEG segments each.
+
+    Args mirror viterbi_scores_pairs(_from_starts) except: pidx indexes
+    PACKS (tables (NPACK, 1364, 2*Kp+PACK_PAD), tvecs (NPACK, 8, Kp) from
+    build_tables_packed), and the outputs are (NPAIR, W, NSEG) — slot w's
+    window scored against each of the pack's NSEG profiles.  Pending
+    formulation only (START-indexed codes)."""
+    kappa, mode, _ = _resolve(kappa, "pending", None)
+    assert mode == "pending"
+    if codes is not None:
+        return _scores_pairs_packed_jit(pidx, tables, tvecs, xts, lengths,
+                                        codes, kappa=kappa, nseg=nseg,
+                                        interpret=interpret)
+    return _gather_scores_pairs_packed_jit(
+        pidx, tables, tvecs, xts, lengths, starts, codes_all,
+        kappa=kappa, nlb=nlb, nseg=nseg, interpret=interpret)

@@ -1,5 +1,3 @@
-from .sharding import (make_mesh, shard_pack, shard_windows, sharded_scan_step,
-                       SCAN_AXES)
+from .multidevice import MESH_AXIS, MultiDevicePairScorer, make_mesh
 
-__all__ = ["make_mesh", "shard_pack", "shard_windows", "sharded_scan_step",
-           "SCAN_AXES"]
+__all__ = ["MESH_AXIS", "MultiDevicePairScorer", "make_mesh"]

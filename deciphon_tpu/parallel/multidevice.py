@@ -1,71 +1,117 @@
-"""Multi-device scan scoring: shard pair-buckets across local devices.
+"""Device-parallel scan scoring: the pair dim sharded over a 1D mesh.
 
-The scan scheduler's pair buckets are embarrassingly parallel, so the
-multi-chip scanner simply round-robins bucket kernel calls across the
-local device set (each device holds a full replica of the profile tables;
-profile-axis *sharding* of the tables themselves is the memory-bound
-alternative in parallel/sharding.py).  Results are gathered host-side —
-the merge is the deterministic product sort, so device count never
-changes output (the reference's thread-count-invariance contract).
+The TPU-native analog of the reference keeping all <=128 OpenMP threads
+saturated on the hot loop (c-core/scan.c:188, thread.c:49-86): phase-1
+scoring waves are ONE SPMD program jitted over a `jax.sharding.Mesh` —
+`jax.shard_map` splits the (NPAIR, ...) kernel inputs along the mesh's
+`dev` axis, every device runs the identical ragged Pallas program on its
+slice of the wave, and the (NPAIR, W) cost planes come back sharded.  No
+collectives are needed on the hot path (pairs are independent; the merge
+into deterministic product order happens host-side exactly as in the
+single-device scan), so the wave scales linearly with device count while
+dispatch stays a single XLA invocation per bucket.
+
+`MultiDevicePairScorer` subclasses the production `PairScorer`
+(scan/scheduler.py) and overrides only placement: it inherits the
+scan-resident device codes, `dispatch`/`collect` wave pipelining,
+per-(rung, profile) group widths, in-flight byte caps, and the Pallas
+path kernel + device traceback of phase 2 (run mesh-replicated — LRT
+survivors are <<1% of windows, c-core/thread.c:119-126, so phase 2 is
+not worth sharding).  Products are therefore byte-identical to a
+single-device scan for any device count — the reference's
+thread-count-invariance contract (python-core/tests/test_scan.py:102-104).
 """
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.costs import ViterbiCosts
-from ..scan.scheduler import PairItem, build_batches, bucket_arrays
+from ..scan.scheduler import PairScorer
 
-__all__ = ["MultiDevicePairScorer"]
+__all__ = ["MESH_AXIS", "MultiDevicePairScorer", "make_mesh"]
+
+MESH_AXIS = "dev"
 
 
-class MultiDevicePairScorer:
-    """PairScorer contract over N local devices (round-robin buckets)."""
+def make_mesh(devices=None) -> Mesh:
+    """1D device mesh for pair-sharded scan scoring."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(list(devices)), (MESH_AXIS,))
+
+
+@functools.lru_cache(maxsize=None)
+def _scores_from_starts_shmap(mesh: Mesh, kappa: int, nlb: int,
+                              interpret: bool, hbm: bool):
+    """Mesh-jitted phase-1 wave: shard the pair dim, replicate tables."""
+    from ..ops import viterbi_pallas as vp
+
+    def fn(pidx, tables, tvecs, xts, lengths, starts, codes_all):
+        return vp.viterbi_scores_pairs_from_starts(
+            pidx, tables, tvecs, xts, lengths, starts, codes_all,
+            nlb=nlb, kappa=kappa, interpret=interpret, hbm=hbm)
+
+    sh, rep = P(MESH_AXIS), P()
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, so shard_map's replication checker cannot see through
+    # the kernel; the sharding here is trivially per-pair-slice.
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(sh, rep, rep, sh, sh, sh, rep),
+        out_specs=(sh, sh), check_vma=False))
+
+
+class MultiDevicePairScorer(PairScorer):
+    """PairScorer whose phase-1 waves run SPMD over a device mesh."""
 
     def __init__(self, costs_list: list[ViterbiCosts], devices=None,
-                 interpret: bool = False, kappa: int | None = None):
-        import jax.numpy as jnp
+                 mesh: Mesh | None = None, interpret: bool = False,
+                 kappa: int | None = None, w: int | None = None,
+                 hbm_table: bool = False):
+        super().__init__(costs_list, interpret=interpret, kappa=kappa,
+                         w=w, hbm_table=hbm_table)
+        if mesh is None:
+            mesh = make_mesh(devices)
+        self.mesh = mesh
+        self.ndev = int(mesh.devices.size)
+        rep = NamedSharding(mesh, P())
+        # Profile tables replicate across the mesh: every device scores
+        # arbitrary (profile, window) pairs of this scorer's bucket, the
+        # sharding analog of the reference's per-thread protein setup
+        # (c-core/scan.c:110-134).  Phase 2 and the no-device-codes
+        # fallback paths inherit the base implementations, which run
+        # replicated over the mesh through these same arrays.
+        self.tables = jax.device_put(self.tables, rep)
+        self.tvecs = jax.device_put(self.tvecs, rep)
 
-        from ..ops import viterbi_pallas as vp
+    def set_device_codes(self, dev_codes) -> None:
+        if dev_codes is not None:
+            rep = NamedSharding(self.mesh, P())
+            if getattr(dev_codes.dev, "sharding", None) != rep:
+                # replicate the scan-resident code array once per scan;
+                # sub-scorers sharing the object see it already placed
+                dev_codes.dev = jax.device_put(dev_codes.dev, rep)
+        super().set_device_codes(dev_codes)
 
-        self._vp = vp
-        self.devices = list(devices if devices is not None else jax.devices())
-        self.kappa, self.mode, self.prefetch = vp._resolve(kappa, None, None)
-        self.interpret = interpret
-        Kp = vp.common_kp(costs_list)
-        pairs = [vp.build_tables(c, Kp) for c in costs_list]
-        tables = np.stack([t for t, _ in pairs])
-        tvecs = np.stack([v for _, v in pairs])
-        self.tables = [jax.device_put(jnp.asarray(tables), d)
-                       for d in self.devices]
-        self.tvecs = [jax.device_put(jnp.asarray(tvecs), d)
-                      for d in self.devices]
-
-    def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
-        import jax.numpy as jnp
-
-        buckets = build_batches(items, self.kappa)
-        # dispatch all buckets first (async), then collect
-        inflight = []
-        for i, bucket in enumerate(buckets):
-            d = self.devices[i % len(self.devices)]
-            pidx, xts, lens, ck, _ = bucket_arrays(bucket, self.kappa,
-                                                   mode=self.mode)
-            put = lambda a: jax.device_put(jnp.asarray(a), d)
-            alt, nul = self._vp.viterbi_scores_pairs(
-                put(pidx), self.tables[i % len(self.devices)],
-                self.tvecs[i % len(self.devices)], put(xts), put(lens),
-                put(ck), kappa=self.kappa, interpret=self.interpret,
-                mode=self.mode, prefetch=self.prefetch)
-            inflight.append((bucket, alt, nul))
-
-        results: dict[int, tuple[float, float]] = {}
-        for bucket, alt, nul in inflight:
-            alt = np.asarray(alt)
-            nul = np.asarray(nul)
-            for gi, g in enumerate(bucket.groups):
-                for wi, it in enumerate(g):
-                    results[id(it)] = (float(nul[gi, wi]), float(alt[gi, wi]))
-        return results
+    def _invoke_scores_from_starts(self, pidx, xts, lens, starts, nlb):
+        n = pidx.shape[0]
+        npad = -(-n // self.ndev) * self.ndev - n
+        if npad:
+            # pad the pair dim to the mesh size; pad pairs carry length 0
+            # so their (never-read) outputs stay +inf
+            pidx = np.pad(pidx, ((0, npad),))
+            xts = np.pad(xts, ((0, npad), (0, 0), (0, 0)))
+            lens = np.pad(lens, ((0, npad), (0, 0), (0, 0)))
+            starts = np.pad(starts, ((0, npad), (0, 0)))
+        sh = NamedSharding(self.mesh, P(MESH_AXIS))
+        fn = _scores_from_starts_shmap(self.mesh, self.kappa, int(nlb),
+                                       self.interpret, self.hbm_table)
+        return fn(jax.device_put(pidx, sh), self.tables, self.tvecs,
+                  jax.device_put(xts, sh), jax.device_put(lens, sh),
+                  jax.device_put(starts, sh), self.dev_codes.dev)

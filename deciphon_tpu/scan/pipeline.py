@@ -35,7 +35,7 @@ from .. import states as st
 from ..ops.costs import ViterbiCosts, build_costs
 from ..profile import FrameProfile
 from .decoder import Decoder
-from .product import MatchStep, ProductLine, ProductWriter
+from .product import ProductLine, ProductWriter
 from .scheduler import JaxPairScorer, PairItem, PairScorer
 from .sequence import Sequence
 from .window import WindowCursor
@@ -66,7 +66,9 @@ class ScanConfig:
     multi_hits: bool = True
     hmmer3_compat: bool = False
     max_pairs: int = 256  # pairs in flight per scoring round
-    engine: str = "pallas"  # "pallas" | "pallas-interpret" | "jax" | "native"
+    # "pallas" | "pallas-interpret" | "pallas-multi" |
+    # "pallas-multi-interpret" | "jax" | "native"
+    engine: str = "pallas"
     # Window-chain speculation depth cap: windows generated ahead of the
     # last-hit feedback per (profile, sequence) cursor.  Depth starts at
     # the cursor's expected window count, drops to 1 after a hit rewind,
@@ -105,12 +107,18 @@ class Scanner:
             from ..native import NativePairScorer
 
             self.scorer = NativePairScorer(self.costs)
-        elif self.config.engine == "pallas-multi":
-            from ..parallel.multidevice import MultiDevicePairScorer
+        elif self.config.engine.startswith("pallas-multi"):
+            # Device-parallel production path: the SAME BucketedPairScorer
+            # machinery (device codes, wave pipelining, per-rung widths,
+            # path kernel), with phase-1 waves shard_map'd over all local
+            # devices (parallel/multidevice.py).
+            import jax
+
             from .scheduler import BucketedPairScorer
 
             self.scorer = BucketedPairScorer(
-                self.costs, scorer_factory=MultiDevicePairScorer)
+                self.costs, devices=jax.devices(),
+                interpret=self.config.engine.endswith("-interpret"))
         else:
             from .scheduler import BucketedPairScorer
 
@@ -533,14 +541,17 @@ class Scanner:
         fcs = codes_win[ends[emit_pos] - 1, sizes[emit_pos] - 1]
 
         names = [_state_name_cached(int(s)) for s in sids]
-        steps = [MatchStep(window_syms[s:e], nm, "", "")
-                 for s, e, nm in zip(starts_rel, ends, names)]
+        frags = [window_syms[s:e] for s, e in zip(starts_rel, ends)]
+        # pre-render every step as its final "frag,STATE,codon,amino"
+        # string (mute default), then patch the emitting ones: building
+        # strings directly skips per-step MatchStep construction + a
+        # second render pass (measured survivor-heavy host cost)
+        steps = [f + "," + nm + ",," for f, nm in zip(frags, names)]
         for i, (codon, amino) in zip(
                 emit_pos,
                 decoder.decode_batch([int(sids[i]) for i in emit_pos],
                                      fcs)):
-            steps[i].codon = codon
-            steps[i].amino = amino
+            steps[i] = f"{frags[i]},{names[i]},{codon},{amino}"
             aminos.append(amino)
 
         line = ProductLine(

@@ -59,7 +59,11 @@ class ProductLine:
     abc: str
     lrt: float
     logevalue: float
-    steps: list[MatchStep] = field(default_factory=list)
+    # Each step is either a MatchStep or an already-rendered
+    # "frag,STATE,codon,amino" string — the scan pipeline emits rendered
+    # strings directly (per-step object construction was a measured
+    # survivor-heavy hot spot).
+    steps: list = field(default_factory=list)
 
     def render(self) -> str:
         cols = [
@@ -67,7 +71,8 @@ class ProductLine:
             str(self.window_stop), str(self.hit), str(self.hit_start),
             str(self.hit_stop), self.profile, self.abc,
             format_lrt(self.lrt), format_evalue(self.logevalue),
-            ";".join(s.render() for s in self.steps),
+            ";".join(s if isinstance(s, str) else s.render()
+                     for s in self.steps),
         ]
         return "\t".join(cols) + "\n"
 
@@ -151,7 +156,8 @@ class ProductWriter:
                 "hit_start": line.hit_start, "hit_stop": line.hit_stop,
                 "profile": line.profile, "abc": line.abc, "lrt": line.lrt,
                 "logevalue": line.logevalue,
-                "steps": [s.render() for s in line.steps],
+                "steps": [s if isinstance(s, str) else s.render()
+                          for s in line.steps],
             }})
 
     def journal_pair_done(self, p_idx: int, s_idx: int) -> None:

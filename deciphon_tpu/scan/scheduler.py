@@ -399,6 +399,21 @@ class PairScorer:
         self.dev_codes = dev_codes
         self._w_pinned = None  # new scan: re-derive the group width once
 
+    def _invoke_scores_from_starts(self, pidx, xts, lens, starts, nlb):
+        """The production phase-1 kernel call (device-resident codes).
+
+        Split out so device-parallel scorers (parallel/multidevice.py)
+        can shard the pair dim over a mesh while inheriting every other
+        piece of the dispatch/collect machinery."""
+        import jax.numpy as jnp
+
+        return self._vp.viterbi_scores_pairs_from_starts(
+            jnp.asarray(pidx), self.tables, self.tvecs,
+            jnp.asarray(xts), jnp.asarray(lens),
+            jnp.asarray(starts), self.dev_codes.dev,
+            nlb=nlb, kappa=self.kappa,
+            interpret=self.interpret, hbm=self.hbm_table)
+
     def _w_eff(self, items: list[PairItem]) -> int:
         # Effective group width: don't pad tiny workloads up to the full
         # width (a scan of a few windows per profile would waste w-fold
@@ -438,12 +453,8 @@ class PairScorer:
                     bucket, self.kappa, mode=self.mode)
             t1 = time.perf_counter()
             if use_dev:
-                alt, nul = self._vp.viterbi_scores_pairs_from_starts(
-                    jnp.asarray(pidx), self.tables, self.tvecs,
-                    jnp.asarray(xts), jnp.asarray(lens),
-                    jnp.asarray(starts), self.dev_codes.dev,
-                    nlb=bucket.nlb, kappa=self.kappa,
-                    interpret=self.interpret, hbm=self.hbm_table)
+                alt, nul = self._invoke_scores_from_starts(
+                    pidx, xts, lens, starts, bucket.nlb)
             elif self.hbm_table:
                 alt, nul = self._vp.viterbi_scores_pairs_hbm(
                     jnp.asarray(pidx), self.tables, self.tvecs,
@@ -620,6 +631,200 @@ class PairScorer:
         return out
 
 
+class PackedPairScorer:
+    """Lane-packed scorer for one seg-need class of small-K profiles.
+
+    Wraps the NSEG-segment Pallas tier (ops/viterbi_pallas.py
+    viterbi_scores_pairs_packed): profiles pack side by side in the lane
+    dim, restoring lane fill (a K=50 profile fills 41% of the minimum
+    128-lane bucket alone; the reference's striping wastes nothing at any
+    K, c-core/viterbi.c:195-221).  Packing requires every segment of a
+    slot to scan the SAME window (one emission-row gather feeds all
+    lanes), so phase-1 items are split by a static rule: whole-read
+    windows (win == [0, seq.size), identical across profiles whenever
+    they exist, c-core/window.c:30) go to the packed kernel; everything
+    else — multi-window long reads, plus all of phase 2 — delegates to
+    an inner unpacked PairScorer over the same profiles.  Packs are
+    static (pack i = K-sorted profiles [i*nseg, (i+1)*nseg)); slots fill
+    with one row per (pack, window identity).
+
+    Contract-compatible with PairScorer: dispatch()/collect()/score()/
+    paths_group()/set_device_codes(), entries interleave freely with the
+    inner scorer's in one wave handle."""
+
+    NLB_FLOOR = PairScorer.NLB_FLOOR
+    INFLIGHT_BYTES = PairScorer.INFLIGHT_BYTES
+    hbm_table = False
+
+    # Group width per packed plane, COMPILE-VERIFIED on TPU v5e (an
+    # analytic VMEM ledger mispredicts Mosaic's actual scoped allocation:
+    # only the non-pow2 Kp=384 plane trips the 16 MB scoped-vmem limit
+    # at w=128, while the larger Kp=512 planes fit).  39.3 GCUPS at K=50
+    # with nseg=8, w=128 vs 15.9 unpacked.
+    PACKED_W = {128: 128, 256: 128, 384: 64, 512: 128}
+
+    def __init__(self, costs_list: list[ViterbiCosts], nseg: int,
+                 interpret=False, kappa: int | None = None,
+                 w: int | None = None, inner_w: int | None = None):
+        import jax.numpy as jnp
+
+        from ..ops import viterbi_pallas as vp
+
+        self._vp = vp
+        self.kappa, self.mode, _ = vp._resolve(kappa, "pending", None)
+        self.nseg = nseg
+        self.seg = max(vp.round_up(c.K + 2, 64) for c in costs_list)
+        self.Kp = self.seg * nseg
+        assert self.Kp % 128 == 0, (self.seg, nseg)
+        npack = -(-len(costs_list) // nseg)
+        pairs = [vp.build_tables_packed(
+            costs_list[i * nseg:(i + 1) * nseg], self.seg, nseg)
+            for i in range(npack)]
+        self.tables = jnp.asarray(np.stack([t for t, _ in pairs]))
+        self.tvecs = jnp.asarray(np.stack([v for _, v in pairs]))
+        if w is None:
+            w = self.PACKED_W.get(self.Kp, 64)
+        self.w = w
+        self.interpret = interpret
+        self.inner = PairScorer(costs_list, interpret=interpret,
+                                kappa=kappa, w=inner_w)
+        self.dev_codes = None
+        self._metrics = None
+        self._w_pinned: int | None = None
+
+    # metrics propagate to the inner scorer so wall buckets stay unified
+    @property
+    def metrics(self):
+        return self._metrics
+
+    @metrics.setter
+    def metrics(self, m) -> None:
+        self._metrics = m
+        self.inner.metrics = m
+
+    def set_device_codes(self, dev_codes) -> None:
+        self.dev_codes = dev_codes
+        self._w_pinned = None
+        self.inner.set_device_codes(dev_codes)
+
+    def dispatch(self, items: list[PairItem]) -> list:
+        use_dev = self.dev_codes is not None
+        packed: list[PairItem] = []
+        rest: list[PairItem] = []
+        for it in items:
+            if use_dev and it.win.start == 0 and it.win.stop == it.seq.size:
+                packed.append(it)
+            else:
+                rest.append(it)
+        inflight = list(self.inner.dispatch(rest)) if rest else []
+        if packed:
+            inflight.extend(self._dispatch_packed(packed))
+        return inflight
+
+    def _w_eff(self, rows_per_pack: int) -> int:
+        if self._w_pinned is None:
+            self._w_pinned = max(8, min(self.w,
+                                        next_pow2(max(1, rows_per_pack))))
+        return self._w_pinned
+
+    def _dispatch_packed(self, items: list[PairItem]) -> list:
+        import jax.numpy as jnp
+
+        m = self._metrics
+        # rows: (nlb rung, pack) -> {window identity -> [(segment, item)]}
+        per: dict[tuple[int, int], dict] = {}
+        for it in items:
+            pack, s = divmod(it.p_idx, self.nseg)
+            nlb = max(self.NLB_FLOOR,
+                      quantize_nlb(max(1, -(-it.win.length // self.kappa))))
+            per.setdefault((nlb, pack), {}).setdefault(
+                (it.s_idx, it.win.start, it.win.stop), []).append((s, it))
+
+        w = self._w_eff(max(len(d) for d in per.values()))
+        inflight: list = []
+        results: dict[int, tuple[float, float]] = {}
+        inflight_bytes = 0
+        for (nlb, pack) in sorted(per):
+            rows = [per[(nlb, pack)][k] for k in sorted(per[(nlb, pack)])]
+            groups = [rows[i:i + w] for i in range(0, len(rows), w)]
+            i0 = 0
+            for size in chunk_sizes(len(groups)):
+                chunk = groups[i0:i0 + size]
+                i0 += size
+                t0 = time.perf_counter()
+                N = pad_groups(len(chunk))
+                pidx = np.full((N,), pack, np.int32)
+                xts = np.zeros((N, w, 16), np.float32)
+                lens = np.zeros((N, w, 1), np.int32)
+                starts = np.full((N, w), self.dev_codes.pad_start, np.int32)
+                for gi, g in enumerate(chunk):
+                    for wi, slot in enumerate(g):
+                        it0 = slot[0][1]  # window shared across segments
+                        xts[gi, wi, :13] = it0.xt
+                        lens[gi, wi, 0] = it0.win.length
+                        starts[gi, wi] = it0.gstart
+                t1 = time.perf_counter()
+                alt, nul = self._vp.viterbi_scores_pairs_packed(
+                    jnp.asarray(pidx), self.tables, self.tvecs,
+                    jnp.asarray(xts), jnp.asarray(lens),
+                    starts=jnp.asarray(starts),
+                    codes_all=self.dev_codes.dev, nlb=nlb,
+                    kappa=self.kappa, nseg=self.nseg,
+                    interpret=self.interpret)
+                t2 = time.perf_counter()
+                if m is not None:
+                    m.add_wall("pack", t1 - t0)
+                    m.add_wall("dispatch", t2 - t1)
+                    if _sync_debug():
+                        np.asarray(alt).sum()
+                        m.add_wall(
+                            f"bkt_packed_kp{self.Kp}_s{self.nseg}"
+                            f"_nlb{nlb}_n{N}_w{w}",
+                            time.perf_counter() - t2)
+                nbytes = N * nlb * self.kappa * 5 * w * 4
+                inflight.append((chunk, alt, nul, nbytes))
+                inflight_bytes += nbytes
+                while (inflight_bytes > self.INFLIGHT_BYTES
+                       and len(inflight) > 1):
+                    old = inflight.pop(0)
+                    self._collect_entry(old, results, m)
+                    inflight_bytes -= old[3]
+        if results:
+            inflight.insert(0, results)
+        return inflight
+
+    def _collect_entry(self, entry, results, m=None) -> None:
+        if isinstance(entry[0], _Bucket):  # inner unpacked entry
+            PairScorer._collect_one(entry, results, m)
+            return
+        chunk, alt, nul = entry[0], entry[1], entry[2]
+        t0 = time.perf_counter()
+        alt = np.asarray(alt)
+        nul = np.asarray(nul)
+        if m is not None:
+            m.add_wall("collect", time.perf_counter() - t0)
+        for gi, g in enumerate(chunk):
+            for wi, slot in enumerate(g):
+                for s, it in slot:
+                    results[id(it)] = (float(nul[gi, wi, s]),
+                                       float(alt[gi, wi, s]))
+
+    def collect(self, inflight) -> dict[int, tuple[float, float]]:
+        results: dict[int, tuple[float, float]] = {}
+        for entry in inflight:
+            if isinstance(entry, dict):
+                results.update(entry)
+                continue
+            self._collect_entry(entry, results, self._metrics)
+        return results
+
+    def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
+        return self.collect(self.dispatch(items))
+
+    def paths_group(self, items: list[PairItem]) -> dict[int, list]:
+        return self.inner.paths_group(items)
+
+
 class BucketedPairScorer:
     """Partitions profiles into core-size buckets, one PairScorer each.
 
@@ -645,17 +850,41 @@ class BucketedPairScorer:
     # blocks, HBM_STATE_BYTES_PER_LANE * w * Kp bytes (the constant is
     # defined next to the kernel and shared with bench.py); budget ~10.5 MB.
     HBM_STATE_BUDGET = 10_500_000
+    # Lane packing (PackedPairScorer): profiles whose 64-lane seg need is
+    # at most PACK_MAX_SEG pack NSEG per plane, capped at PACK_KP_MAX
+    # total lanes (bigger planes amortize per-position work; beyond 512
+    # the VMEM budget for the widened table bites).
+    PACK_MAX_SEG = 256
+    PACK_KP_MAX = 512
 
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
                  kappa: int | None = None,
-                 scorer_factory=None, w: int | None = None):
+                 scorer_factory=None, w: int | None = None, devices=None):
         from ..ops import viterbi_pallas as vp
+
+        # devices (>1) selects the device-parallel scorer tier: identical
+        # machinery, phase-1 waves shard_map'd over a 1D mesh.
+        mesh = None
+        if devices is not None and len(devices) > 1:
+            from ..parallel.multidevice import make_mesh
+
+            mesh = make_mesh(devices)
+
+        def make(costs, wb, hbm):
+            if mesh is not None:
+                from ..parallel.multidevice import MultiDevicePairScorer
+
+                return MultiDevicePairScorer(
+                    costs, mesh=mesh, interpret=interpret, kappa=kappa,
+                    w=wb, hbm_table=hbm)
+            return PairScorer(costs, interpret=interpret, kappa=kappa,
+                              w=wb, hbm_table=hbm)
 
         def default_factory(costs):
             kp = vp.common_kp(costs)
             wb = w if w is not None else max(
                 8, min(128, self.W_LANE_BUDGET // kp))
-            return PairScorer(costs, interpret=interpret, kappa=kappa, w=wb)
+            return make(costs, wb, False)
 
         def hbm_factory(costs):
             kp = vp.common_kp(costs)
@@ -666,19 +895,54 @@ class BucketedPairScorer:
                 while wb * 2 <= min(128, self.HBM_STATE_BUDGET //
                                     (vp.HBM_STATE_BYTES_PER_LANE * kp)):
                     wb *= 2
-            return PairScorer(costs, interpret=interpret, kappa=kappa, w=wb,
-                              hbm_table=True)
+            return make(costs, wb, True)
 
         factory = scorer_factory or default_factory
-        buckets: dict[int, list[int]] = {}
+
+        # Small-K profiles class by 64-lane seg need and lane-pack NSEG
+        # per plane (PackedPairScorer) — only on the default single-device
+        # tier (custom factories and the device-parallel tier keep the
+        # classic pow2 buckets; packing composes with them in a later
+        # round).  Singleton classes aren't worth a packed program.
+        packed_classes: dict[int, list[int]] = {}
+        plain: list[int] = []
+        allow_packing = scorer_factory is None and mesh is None
         for i, c in enumerate(costs_list):
-            kp = vp.round_up(max(c.K + 2, 128), 128)
+            segn = vp.round_up(c.K + 2, 64)
+            if allow_packing and segn <= self.PACK_MAX_SEG:
+                packed_classes.setdefault(segn, []).append(i)
+            else:
+                plain.append(i)
+        for segn in sorted(packed_classes):
+            if len(packed_classes[segn]) < 2:
+                plain.extend(packed_classes.pop(segn))
+
+        self._map: dict[int, tuple[int, int]] = {}
+        self.scorers = []
+        for segn in sorted(packed_classes):
+            idxs = sorted(packed_classes[segn],
+                          key=lambda i: costs_list[i].K)
+            nseg = min(self.PACK_KP_MAX // segn, 8,
+                       next_pow2(len(idxs)))
+            while (segn * nseg) % 128:
+                nseg *= 2  # seg=192: S=2 -> Kp=384 (vreg multiple)
+            for local, gi in enumerate(idxs):
+                self._map[gi] = (len(self.scorers), local)
+            costs = [costs_list[i] for i in idxs]
+            inner_kp = vp.common_kp(costs)
+            inner_w = w if w is not None else max(
+                8, min(128, self.W_LANE_BUDGET // inner_kp))
+            self.scorers.append(PackedPairScorer(
+                costs, nseg=nseg, interpret=interpret, kappa=kappa,
+                w=w, inner_w=inner_w))
+
+        buckets: dict[int, list[int]] = {}
+        for i in plain:
+            kp = vp.round_up(max(costs_list[i].K + 2, 128), 128)
             b = 128
             while b < kp:
                 b *= 2
             buckets.setdefault(b, []).append(i)
-        self._map: dict[int, tuple[int, int]] = {}
-        self.scorers = []
         for b, idxs in sorted(buckets.items()):
             for local, gi in enumerate(idxs):
                 self._map[gi] = (len(self.scorers), local)

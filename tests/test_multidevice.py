@@ -1,5 +1,6 @@
-"""Multi-device pair scoring on the 8-virtual-CPU mesh: device-count
-invariance of the products."""
+"""Device-parallel scan on the 8-virtual-CPU mesh: device-count
+invariance of the full Scanner's products (the reference's thread-count
+contract, python-core/tests/test_scan.py:102-104, at device level)."""
 
 import json
 import os
@@ -10,7 +11,9 @@ import pytest
 from deciphon_tpu.io.dcp import read_dcp_profiles
 from deciphon_tpu.parallel.multidevice import MultiDevicePairScorer
 from deciphon_tpu.press import press
+from deciphon_tpu.profile import sample_profile
 from deciphon_tpu.scan.pipeline import ScanConfig, Scanner
+from deciphon_tpu.scan.scheduler import BucketedPairScorer
 from deciphon_tpu.scan.sequence import Sequence
 
 HERE = os.path.dirname(__file__)
@@ -31,16 +34,60 @@ def seqs():
     return [Sequence.make(e["id"], e["name"], e["seq"]) for e in raw]
 
 
-def test_multidevice_matches_single(profiles, seqs, tmp_path):
+def test_multidevice_full_scanner_e2e(profiles, seqs, tmp_path):
+    """The production device-parallel path end to end: speculation,
+    phase-2 path kernel, hits, product writing — byte-identical to the
+    1-device engine for the same workload."""
     assert len(jax.devices()) >= 8
 
-    out_single = Scanner(profiles, ScanConfig(engine="jax")).run(
+    single = Scanner(profiles, ScanConfig(engine="pallas-interpret"))
+    out_single = single.run(seqs, str(tmp_path / "single"))
+    assert single.metrics.survivors > 0  # phase 2 really ran
+
+    multi = Scanner(profiles, ScanConfig(engine="pallas-multi-interpret"))
+    out_multi = multi.run(seqs, str(tmp_path / "multi"))
+    assert multi.metrics.survivors == single.metrics.survivors
+
+    assert open(out_single).read() == open(out_multi).read()
+    # the multi engine really used the sharded scorer tier
+    assert all(isinstance(s, MultiDevicePairScorer)
+               for s in multi.scorer.scorers)
+
+
+def test_multidevice_longread_and_hbm_tier(tmp_path):
+    """Windowed long reads (speculative chains over many waves) plus a
+    K>MAX_PALLAS_KP profile (HBM-table tier) through the device-parallel
+    scorer, vs the single-device run."""
+    import numpy as np
+
+    profiles = [sample_profile(seed=7, core_size=40),
+                sample_profile(seed=8, core_size=300),
+                sample_profile(seed=9, core_size=2100)]
+    assert any(p.core_size + 2 > BucketedPairScorer.MAX_PALLAS_KP
+               for p in profiles)
+    rng = np.random.default_rng(5)
+    seqs = [Sequence.make(i, f"r{i}", "".join(
+        "ACGT"[b] for b in rng.integers(0, 4, size=n)))
+        for i, n in enumerate((5000, 2500))]
+
+    out1 = Scanner(profiles, ScanConfig(engine="pallas-interpret")).run(
         seqs, str(tmp_path / "single"))
+    out2 = Scanner(profiles, ScanConfig(engine="pallas-multi-interpret")).run(
+        seqs, str(tmp_path / "multi"))
+    assert open(out1).read() == open(out2).read()
+
+
+def test_multidevice_scorer_subset_of_devices(profiles, seqs, tmp_path):
+    """Custom factory over a 4-device subset (the pre-unification entry
+    point) still matches the plain jax engine."""
+    out_single = Scanner(profiles, ScanConfig(engine="jax")).run(
+        seqs[:2], str(tmp_path / "single"))
 
     def make_scorer(costs):
         return MultiDevicePairScorer(costs, devices=jax.devices()[:4],
                                      interpret=True)
 
     out_multi = Scanner(profiles, ScanConfig(engine="jax"),
-                        scorer=make_scorer).run(seqs, str(tmp_path / "multi"))
+                        scorer=make_scorer).run(
+        seqs[:2], str(tmp_path / "multi"))
     assert open(out_single).read() == open(out_multi).read()

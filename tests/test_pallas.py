@@ -154,13 +154,16 @@ def test_bucketed_scorer_routes_large_profiles_to_hbm_kernel():
             hmmer3_compat=False))
 
     saved = BucketedPairScorer.MAX_PALLAS_KP
+    saved_pack = BucketedPairScorer.PACK_MAX_SEG
     try:
         BucketedPairScorer.MAX_PALLAS_KP = 64  # force the large-K path
+        BucketedPairScorer.PACK_MAX_SEG = 0  # keep the packed tier out
         bucketed = BucketedPairScorer(costs, interpret=True)
         assert all(s.hbm_table for s in bucketed.scorers)
         got = bucketed.score(items)
     finally:
         BucketedPairScorer.MAX_PALLAS_KP = saved
+        BucketedPairScorer.PACK_MAX_SEG = saved_pack
     want = JaxPairScorer(costs).score(items)
     for it in items:
         np.testing.assert_allclose(got[id(it)], want[id(it)],
