@@ -700,6 +700,14 @@ def main() -> None:
                     if cold2 else None),
                 "profiles": cold1["extra"]["scan_cold"]["profiles"],
                 "reads": cold1["extra"]["scan_cold"]["reads"],
+                # the XLA persistent cache is fresh in child 1, but this
+                # backend's remote-compile service may cache compiled
+                # binaries on its own side, so cold_fresh_s is a lower
+                # bound on a truly cold machine; both walls also carry
+                # ~60-100 s of fixed per-process cost (imports, tunnel
+                # device init, press, tracing) that warmup cannot remove
+                "note": ("fresh = empty XLA persistent cache; backend-"
+                         "side compile caches may still apply"),
             }
         if qr:
             extra["quality"] = qr["extra"]["quality"]

@@ -857,6 +857,13 @@ class BucketedPairScorer:
     PACK_MAX_SEG = 256
     PACK_KP_MAX = 512
 
+    @staticmethod
+    def w_cap(kp: int) -> int:
+        """Max slot width per plane: minimum-lane buckets amortize the
+        kernel's per-position fixed costs over slots instead (w=256
+        measured +20% at K=50 on v5e; w=512 fails to compile)."""
+        return 256 if kp <= 128 else 128
+
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
                  kappa: int | None = None,
                  scorer_factory=None, w: int | None = None, devices=None):
@@ -883,7 +890,7 @@ class BucketedPairScorer:
         def default_factory(costs):
             kp = vp.common_kp(costs)
             wb = w if w is not None else max(
-                8, min(128, self.W_LANE_BUDGET // kp))
+                8, min(self.w_cap(kp), self.W_LANE_BUDGET // kp))
             return make(costs, wb, False)
 
         def hbm_factory(costs):
@@ -931,7 +938,8 @@ class BucketedPairScorer:
             costs = [costs_list[i] for i in idxs]
             inner_kp = vp.common_kp(costs)
             inner_w = w if w is not None else max(
-                8, min(128, self.W_LANE_BUDGET // inner_kp))
+                8, min(self.w_cap(inner_kp),
+                       self.W_LANE_BUDGET // inner_kp))
             self.scorers.append(PackedPairScorer(
                 costs, nseg=nseg, interpret=interpret, kappa=kappa,
                 w=w, inner_w=inner_w))

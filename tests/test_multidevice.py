@@ -37,14 +37,21 @@ def seqs():
 def test_multidevice_full_scanner_e2e(profiles, seqs, tmp_path):
     """The production device-parallel path end to end: speculation,
     phase-2 path kernel, hits, product writing — byte-identical to the
-    1-device engine for the same workload."""
+    1-device engine for the same workload.  Group width pinned to 8:
+    interpret-mode kernels unroll 5*w gathers per position, so
+    production widths would compile for minutes on CPU."""
     assert len(jax.devices()) >= 8
 
-    single = Scanner(profiles, ScanConfig(engine="pallas-interpret"))
+    single = Scanner(profiles, ScanConfig(engine="pallas-interpret"),
+                     scorer=lambda costs: BucketedPairScorer(
+                         costs, interpret=True, w=8))
     out_single = single.run(seqs, str(tmp_path / "single"))
     assert single.metrics.survivors > 0  # phase 2 really ran
 
-    multi = Scanner(profiles, ScanConfig(engine="pallas-multi-interpret"))
+    multi = Scanner(profiles, ScanConfig(engine="pallas-multi-interpret"),
+                    scorer=lambda costs: BucketedPairScorer(
+                        costs, interpret=True, w=8,
+                        devices=jax.devices()))
     out_multi = multi.run(seqs, str(tmp_path / "multi"))
     assert multi.metrics.survivors == single.metrics.survivors
 
@@ -70,9 +77,14 @@ def test_multidevice_longread_and_hbm_tier(tmp_path):
         "ACGT"[b] for b in rng.integers(0, 4, size=n)))
         for i, n in enumerate((5000, 2500))]
 
-    out1 = Scanner(profiles, ScanConfig(engine="pallas-interpret")).run(
+    out1 = Scanner(profiles, ScanConfig(engine="pallas-interpret"),
+                   scorer=lambda costs: BucketedPairScorer(
+                       costs, interpret=True, w=8)).run(
         seqs, str(tmp_path / "single"))
-    out2 = Scanner(profiles, ScanConfig(engine="pallas-multi-interpret")).run(
+    out2 = Scanner(profiles, ScanConfig(engine="pallas-multi-interpret"),
+                   scorer=lambda costs: BucketedPairScorer(
+                       costs, interpret=True, w=8,
+                       devices=jax.devices())).run(
         seqs, str(tmp_path / "multi"))
     assert open(out1).read() == open(out2).read()
 

@@ -144,3 +144,46 @@ def test_supervisor_partial_merge_on_permanent_failure(tmp_path):
     out = merge_product_shards(
         str(tmp_path), [str(tmp_path / "shard.0")], [])
     assert open(out).readline() == HEADER
+
+
+def test_wait_for_shards_keeps_sentinel_of_dead_worker(tmp_path):
+    """A worker that writes its sentinel and exits between the exists()
+    check and the liveness probe must still count as done (the sentinel
+    is durable) — the advisor-flagged race (ADVICE r3 #1)."""
+    from deciphon_tpu.parallel.multihost import wait_for_shards
+
+    shared = str(tmp_path)
+    calls = {"n": 0}
+
+    def is_alive(pid):
+        # first liveness probe: write the sentinel AFTER the exists()
+        # check already ran this iteration, then report the worker dead
+        if calls["n"] == 0:
+            with open(os.path.join(shared, "shard.0.done"), "w"):
+                pass
+        calls["n"] += 1
+        return False
+
+    done, missing = wait_for_shards(shared, 1, timeout_s=2.0,
+                                    is_alive=is_alive)
+    assert done == [0] and missing == []
+
+
+def test_global_counters_exact_past_2_48():
+    """Counter limbs must be exact beyond 2^48 (ADVICE r3 #2) — the
+    single-process path is the identity, and the limb split/reassembly
+    must round-trip the full int64 range."""
+    from deciphon_tpu.parallel.multihost import _global_counters
+
+    big = (1 << 52) + 12345
+    out = _global_counters({"cells": big}, 1)
+    assert out["cells"] == big
+    # limb reassembly math (what crosses the wire), checked directly
+    import numpy as np
+
+    vals = np.asarray([big, (1 << 63) - 1, 0], np.int64)
+    limbs = np.stack([(vals >> s) & 0xFFFF for s in (48, 32, 16, 0)],
+                     axis=1).astype(np.float32)
+    g = limbs.astype(np.int64)
+    total = sum(g[:, i] << s for i, s in enumerate((48, 32, 16, 0)))
+    assert (total == vals).all()
