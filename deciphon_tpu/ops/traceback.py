@@ -287,3 +287,13 @@ def unzip_device_batch(xnodes, nodes, lengths, K: int):
                 for i in range(n - 1, -1, -1)]
         paths.append([(st.STATE_S, 0)] + path)
     return paths
+
+
+def path_arrays(steps):
+    """(state, size) step list -> (sids (n,) int64, sizes (n,) int64).
+
+    The scan pipeline consumes paths as arrays (per-step Python tuples
+    were a measured survivor-heavy host cost); this adapts the host
+    unzip fallback's list form."""
+    a = np.asarray(steps, np.int64).reshape(-1, 2)
+    return np.ascontiguousarray(a[:, 0]), np.ascontiguousarray(a[:, 1])

@@ -510,7 +510,16 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
         SS[...] = ss
         return 0
 
-    jax.lax.fori_loop(0, kappa // 5, macro_step, 0)
+    # Skip l-blocks past the group's longest window: every T/R latch has
+    # already fired, so the remaining blocks are pure pad compute.  For
+    # the all-pad pairs the {64,8,1} chunk scheme creates (length 0
+    # everywhere), this skips the ENTIRE body — pad pairs cost only the
+    # grid's block DMAs, which is what makes padded chunk dims near-free
+    # (the scheduler's comment contract).  Trailing blocks of a length
+    # rung (windows quantized up to 25%) are skipped the same way.
+    @pl.when(nlb * kappa < jnp.max(len_ref[0]))
+    def _run():
+        jax.lax.fori_loop(0, kappa // 5, macro_step, 0)
 
     alt_ref[0, 0] = Tfin[...]
     null_ref[0, 0] = Rfin[...]
@@ -1250,7 +1259,13 @@ def _kernel_path(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
         SML[:, pl.ds(slot, 1)] = smalls[:, None]
         return 0
 
-    jax.lax.fori_loop(0, kappa, step, 0)
+    # skip l-blocks past the group's longest window (see _kernel_pending):
+    # the trellis rows of skipped blocks are never read (every walk starts
+    # at its slot's length <= the group max), so all-pad pairs and
+    # trailing rung-quantization blocks cost no vector work
+    @pl.when(pl.program_id(nlb_dim) * kappa < jnp.max(len_ref[0]))
+    def _run():
+        jax.lax.fori_loop(0, kappa, step, 0)
 
 
 def _paths_pairs_core(pidx, tables, tvecs, xts, lengths, codes, *,
@@ -1576,7 +1591,11 @@ def _kernel_pending_packed(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
         SS[...] = ss
         return 0
 
-    jax.lax.fori_loop(0, kappa // 5, macro_step, 0)
+    # skip blocks past the longest window (see _kernel_pending): all-pad
+    # pairs and trailing rung-quantization blocks cost no vector work
+    @pl.when(nlb * kappa < jnp.max(len_ref[0]))
+    def _run():
+        jax.lax.fori_loop(0, kappa // 5, macro_step, 0)
 
     alt_ref[0, 0] = Tfin[...]
     null_ref[0, 0] = Rfin[...]

@@ -405,7 +405,7 @@ class Scanner:
         """
         import jax
 
-        from ..ops.traceback import _unzip_batch_jit, unzip
+        from ..ops.traceback import _unzip_batch_jit, path_arrays, unzip
         from ..ops.viterbi_jax import viterbi_path_batch
 
         m = self.metrics
@@ -441,14 +441,17 @@ class Scanner:
                     if not bool(oks[b]):
                         # bounded-walk overflow (pathological path):
                         # exactness fallback to the host walk
-                        out[id(it)] = unzip(
+                        out[id(it)] = path_arrays(unzip(
                             np.asarray(xn[b]), np.asarray(nd[b]),
-                            int(lengths[b]), K)
+                            int(lengths[b]), K))
                         continue
                     n = int(ns[b])
-                    path = [(int(sts[b, j]), int(szs[b, j]))
-                            for j in range(n - 1, -1, -1)]
-                    out[id(it)] = [(st.STATE_S, 0)] + path
+                    sid = np.empty(n + 1, np.int64)
+                    sz = np.empty(n + 1, np.int64)
+                    sid[0], sz[0] = st.STATE_S, 0
+                    sid[1:] = sts[b, n - 1::-1]
+                    sz[1:] = szs[b, n - 1::-1]
+                    out[id(it)] = (sid, sz)
 
         for (p_idx, Lpad), items in groups.items():
             costs = self.costs[p_idx]
@@ -500,11 +503,12 @@ class Scanner:
 
     def _phase2(self, it: PairItem, seq: Sequence, line_lrt: float,
                 on_hit_pos, writer: ProductWriter,
-                path: list) -> None:
+                path: tuple) -> None:
         p_idx, win = it.p_idx, it.win
         profile = self.profiles[p_idx]
+        sids_all, sizes_all = path  # (n,) int64 arrays, S..T order
 
-        seg = segment_hits(path)
+        seg = segment_hits(sids_all, sizes_all)
         if seg is None:
             return  # no B state: cursor's last_hit_pos stays -1
         begin, end, hit_start, hit_stop, last_hit_pos, found_hit = seg
@@ -515,7 +519,7 @@ class Scanner:
         window_syms = seq.data[win.start:win.stop]
         decoder = self._decoder(p_idx)
         aminos: list[str] = []
-        pos0 = sum(sz for _, sz in path[:begin])
+        pos0 = int(sizes_all[:begin].sum())
 
         # Vectorized step assembly (the per-survivor host decode was the
         # measured hot spot of survivor-heavy scans): fragment codes come
@@ -523,9 +527,8 @@ class Scanner:
         # (code of the fragment ending at e with duration d sits at
         # codes[e-1, d-1]) instead of per-step Python re-encoding, and
         # state names are memoized.
-        arr = np.asarray(path[begin:end], dtype=np.int64)
-        sids = arr[:, 0]
-        sizes = arr[:, 1]
+        sids = sids_all[begin:end]
+        sizes = sizes_all[begin:end]
         ends = pos0 + np.cumsum(sizes)
         starts_rel = ends - sizes
         cls = sids >> 14
@@ -585,40 +588,31 @@ class Scanner:
             writer.journal_line(line, order, (p_idx, it.s_idx))
 
 
-def segment_hits(path: list[tuple[int, int]]):
+def segment_hits(sids: np.ndarray, sizes: np.ndarray):
     """Hit segmentation over a traced path (c-core/thread.c:130-166).
 
-    Returns (begin_idx, end_idx, hit_start, hit_stop, last_hit_pos,
-    found_hit) over the span from the first B to one past the last E, or
-    None when no B state exists (then last_hit_pos stays -1, matching the
+    Takes the path as (n,) int64 arrays in S..T order.  Returns
+    (begin_idx, end_idx, hit_start, hit_stop, last_hit_pos, found_hit)
+    over the span from the first B to one past the last E, or None when
+    no B state exists (then last_hit_pos stays -1, matching the
     reference's early return).  hit_start/hit_stop are window-relative
     nucleotide positions; last_hit_pos is always hit_stop-1 once a B was
     seen (the reference sets it at loop exit even with no E).
-    """
-    n = len(path)
-    # advance to the first B, accumulating hit_start
-    hit_start = 0
-    i = 0
-    while i < n and path[i][0] != st.STATE_B:
-        hit_start += path[i][1]
-        i += 1
-    if i == n:
-        return None
-    begin = i
-    i += 1
 
-    hit_stop = hit_start
-    line_hit_stop = hit_stop
-    end = i
-    found_any = False
-    while True:
-        line_hit_stop = hit_stop
-        j = end
-        while j < n and path[j][0] != st.STATE_E:
-            hit_stop += path[j][1]
-            j += 1
-        if j == n:
-            break
-        found_any = True
-        end = j + 1
-    return begin, end, hit_start, line_hit_stop, line_hit_stop - 1, found_any
+    Vectorized but exactly the reference walk: hit_start = emitted
+    nucleotides before the first B; hit_stop accumulates every non-E
+    step between B and the LAST E (E steps are mute, size 0, so a plain
+    slice sum matches the step-skipping loop).
+    """
+    b_idx = np.nonzero(sids == st.STATE_B)[0]
+    if len(b_idx) == 0:
+        return None
+    begin = int(b_idx[0])
+    hit_start = int(sizes[:begin].sum())
+
+    e_idx = np.nonzero(sids[begin + 1:] == st.STATE_E)[0]
+    if len(e_idx) == 0:
+        return begin, begin + 1, hit_start, hit_start, hit_start - 1, False
+    last_e = begin + 1 + int(e_idx[-1])
+    hit_stop = hit_start + int(sizes[begin + 1:last_e].sum())
+    return begin, last_e + 1, hit_start, hit_stop, hit_stop - 1, True

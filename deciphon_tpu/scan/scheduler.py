@@ -531,7 +531,7 @@ class PairScorer:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.traceback import _unzip_batch_jit, unzip
+        from ..ops.traceback import _unzip_batch_jit, path_arrays, unzip
 
         out: dict[int, list] = {}
         if self.hbm_table or not items:
@@ -619,15 +619,22 @@ class PairScorer:
             sts, szs, ns, oks = flat[4 * i:4 * i + 4]
             for b, it in enumerate(flat_items):
                 if not bool(oks[b]):
-                    out[id(it)] = unzip(
+                    steps = unzip(
                         np.asarray(xn_sel[b]).astype(np.uint32),
                         np.asarray(nd_sel[b]).astype(np.uint16),
                         int(lengths[b]), self.tables.shape[2])
+                    out[id(it)] = path_arrays(steps)
                     continue
+                # paths stay ARRAYS end to end (per-step Python tuple
+                # building was a measured survivor-heavy host cost): the
+                # walk emits T..S order, so reverse and prepend S
                 n = int(ns[b])
-                path = [(int(sts[b, j]), int(szs[b, j]))
-                        for j in range(n - 1, -1, -1)]
-                out[id(it)] = [(st.STATE_S, 0)] + path
+                sid = np.empty(n + 1, np.int64)
+                sz = np.empty(n + 1, np.int64)
+                sid[0], sz[0] = st.STATE_S, 0
+                sid[1:] = sts[b, n - 1::-1]
+                sz[1:] = szs[b, n - 1::-1]
+                out[id(it)] = (sid, sz)
         return out
 
 
