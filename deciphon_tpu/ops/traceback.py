@@ -251,10 +251,15 @@ def _unzip_one(xnodes, nodes, length, max_steps: int):
     __import__("jax").jit, static_argnames=("max_steps",))
 def _unzip_batch_jit(xnodes, nodes, lengths, *, max_steps):
     import jax
+    import jax.numpy as jnp
 
-    return jax.vmap(
+    sts, szs, n, ok = jax.vmap(
         lambda x, nd, ln: _unzip_one(x, nd, ln, max_steps))(
             xnodes, nodes, lengths)
+    # narrow on device before the host fetch: state ids are 16-bit by
+    # construction (c-core/state.h:9-25) and sizes are 0..5, and the
+    # step arrays cross a ~40 MB/s host link in the survivor-heavy path
+    return sts.astype(jnp.uint16), szs.astype(jnp.int8), n, ok
 
 
 def unzip_device_batch(xnodes, nodes, lengths, K: int):

@@ -706,13 +706,22 @@ def _ck_from_starts(codes_all, starts, nlb, kappa):
     window's end read the neighbouring sequence's codes — any in-range
     row is a valid table index, and positions past `lengths` never reach
     the captured outputs (the kernel latches T/R at l == length), so the
-    values are irrelevant by construction."""
+    values are irrelevant by construction.
+
+    Each window's rows are one CONTIGUOUS run, so this lowers to one
+    lax.gather of (Lk, 5) BLOCK slices (one big copy per window slot)
+    instead of N*Lk*W single-row fetches: 32 GB/s vs 3.3 GB/s for the
+    row-take and the dominant device cost of big-K scan buckets before
+    (round-4 attribution; the follow-up transpose is free)."""
     N, W = starts.shape
     Lk = nlb * kappa
-    idx = starts[:, None, :] + jnp.arange(Lk, dtype=jnp.int32)[None, :, None]
-    idx = jnp.clip(idx, 0, codes_all.shape[0] - 1)  # (N, Lk, W)
-    ck = jnp.take(codes_all, idx, axis=0)  # (N, Lk, W, 5)
-    return ck.transpose(0, 1, 3, 2).reshape(N, nlb, kappa, 5, W)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+    out = jax.lax.gather(codes_all, starts.reshape(-1, 1), dn,
+                         slice_sizes=(Lk, 5),
+                         mode=jax.lax.GatherScatterMode.CLIP)
+    out = out.reshape(N, W, Lk, 5)
+    return out.transpose(0, 2, 3, 1).reshape(N, nlb, kappa, 5, W)
 
 
 @functools.partial(jax.jit, static_argnames=("kappa", "nlb", "interpret"))

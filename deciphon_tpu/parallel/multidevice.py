@@ -80,6 +80,17 @@ class MultiDevicePairScorer(PairScorer):
             mesh = make_mesh(devices)
         self.mesh = mesh
         self.ndev = int(mesh.devices.size)
+        self._codes0 = None
+        if hbm_table:
+            # The HBM-streamed-table tier (rare huge-K profiles) runs on
+            # ONE mesh device: its block kernel carries donated state
+            # buffers through a lax.scan (and io_callbacks in interpret
+            # mode), which neither shard_map nor replicated SPMD accept;
+            # its pair counts are too small to shard usefully anyway.
+            self._dev0 = mesh.devices.flat[0]
+            self.tables = jax.device_put(self.tables, self._dev0)
+            self.tvecs = jax.device_put(self.tvecs, self._dev0)
+            return
         rep = NamedSharding(mesh, P())
         # Profile tables replicate across the mesh: every device scores
         # arbitrary (profile, window) pairs of this scorer's bucket, the
@@ -91,15 +102,31 @@ class MultiDevicePairScorer(PairScorer):
         self.tvecs = jax.device_put(self.tvecs, rep)
 
     def set_device_codes(self, dev_codes) -> None:
-        if dev_codes is not None:
+        if dev_codes is not None and self.hbm_table:
+            # private single-device copy: the shared DeviceSeqCodes gets
+            # mesh-replicated by the sharded sibling scorers
+            self._codes0 = jax.device_put(dev_codes.dev, self._dev0)
+        elif dev_codes is not None:
             rep = NamedSharding(self.mesh, P())
             if getattr(dev_codes.dev, "sharding", None) != rep:
                 # replicate the scan-resident code array once per scan;
                 # sub-scorers sharing the object see it already placed
                 dev_codes.dev = jax.device_put(dev_codes.dev, rep)
+        else:
+            self._codes0 = None
         super().set_device_codes(dev_codes)
 
     def _invoke_scores_from_starts(self, pidx, xts, lens, starts, nlb):
+        import jax.numpy as jnp
+
+        if self.hbm_table:
+            put = functools.partial(jax.device_put, device=self._dev0)
+            return self._vp.viterbi_scores_pairs_from_starts(
+                put(jnp.asarray(pidx)), self.tables, self.tvecs,
+                put(jnp.asarray(xts)), put(jnp.asarray(lens)),
+                put(jnp.asarray(starts)), self._codes0,
+                nlb=nlb, kappa=self.kappa, interpret=self.interpret,
+                hbm=True)
         n = pidx.shape[0]
         npad = -(-n // self.ndev) * self.ndev - n
         if npad:

@@ -162,6 +162,13 @@ class DeviceSeqCodes:
     """
 
     ROW_QUANTUM = 1 << 16  # pad T to quantized shapes: bounded jit keys
+    # Tail margin >= the largest padded window block (NLB ladder max 4200
+    # rungs x kappa 40 = 168k rows): the block-slice gather
+    # (ops/viterbi_pallas.py _ck_from_starts) clamps a slice's OFFSET so
+    # the whole (Lk, 5) slice stays in bounds — without the margin, a
+    # real window near the end of the last sequence would have its slice
+    # SHIFTED and its valid rows corrupted.
+    TAIL_MARGIN = 1 << 18
 
     def __init__(self, sequences):
         import jax.numpy as jnp
@@ -173,7 +180,8 @@ class DeviceSeqCodes:
             self.offsets.append(total)
             parts.append(s.symbols)
             total += s.size
-        tpad = -(-max(total, 1) // self.ROW_QUANTUM) * self.ROW_QUANTUM
+        tpad = (-(-(max(total, 1) + self.TAIL_MARGIN) // self.ROW_QUANTUM)
+                * self.ROW_QUANTUM)
         # ship 1 byte/nt of BASES and derive the (Tpad, 5) code table on
         # device: the code table is 20 bytes/nt and the host link is the
         # cost (codes crossing a sequence boundary differ from the

@@ -20,6 +20,18 @@ HERE = os.path.dirname(__file__)
 MINIFAM = "/root/reference/c-core/minifam.hmm"
 
 
+@pytest.fixture(autouse=True)
+def _small_rungs(monkeypatch):
+    """Interpret-mode kernels execute the DP as pure jax ops on CPU, so
+    runtime scales with padded block counts: drop the dispatch-latency
+    NLB floor (production: 32 -> 1280 positions minimum per window) so
+    these mesh tests pad windows to their real lengths."""
+    from deciphon_tpu.scan.scheduler import PackedPairScorer, PairScorer
+
+    monkeypatch.setattr(PairScorer, "NLB_FLOOR", 1)
+    monkeypatch.setattr(PackedPairScorer, "NLB_FLOOR", 1)
+
+
 @pytest.fixture(scope="module")
 def profiles(tmp_path_factory):
     out = tmp_path_factory.mktemp("md") / "minifam.dcp"
@@ -62,30 +74,39 @@ def test_multidevice_full_scanner_e2e(profiles, seqs, tmp_path):
 
 
 def test_multidevice_longread_and_hbm_tier(tmp_path):
-    """Windowed long reads (speculative chains over many waves) plus a
-    K>MAX_PALLAS_KP profile (HBM-table tier) through the device-parallel
-    scorer, vs the single-device run."""
+    """Windowed long reads (speculative chains over many waves) plus an
+    HBM-table-tier profile through the device-parallel scorer, vs the
+    single-device run.  MAX_PALLAS_KP is forced down so the HBM path is
+    exercised with a SMALL profile — an interpret-mode compile of the
+    real K>2048 block kernel takes tens of minutes on CPU."""
     import numpy as np
 
-    profiles = [sample_profile(seed=7, core_size=40),
-                sample_profile(seed=8, core_size=300),
-                sample_profile(seed=9, core_size=2100)]
-    assert any(p.core_size + 2 > BucketedPairScorer.MAX_PALLAS_KP
-               for p in profiles)
+    profiles = [sample_profile(seed=7, core_size=8),
+                sample_profile(seed=8, core_size=20),
+                sample_profile(seed=9, core_size=40)]
     rng = np.random.default_rng(5)
     seqs = [Sequence.make(i, f"r{i}", "".join(
         "ACGT"[b] for b in rng.integers(0, 4, size=n)))
-        for i, n in enumerate((5000, 2500))]
+        for i, n in enumerate((1300, 700))]
 
-    out1 = Scanner(profiles, ScanConfig(engine="pallas-interpret"),
-                   scorer=lambda costs: BucketedPairScorer(
-                       costs, interpret=True, w=8)).run(
-        seqs, str(tmp_path / "single"))
-    out2 = Scanner(profiles, ScanConfig(engine="pallas-multi-interpret"),
-                   scorer=lambda costs: BucketedPairScorer(
-                       costs, interpret=True, w=8,
-                       devices=jax.devices())).run(
-        seqs, str(tmp_path / "multi"))
+    saved = BucketedPairScorer.MAX_PALLAS_KP
+    saved_pack = BucketedPairScorer.PACK_MAX_SEG
+    try:
+        BucketedPairScorer.MAX_PALLAS_KP = 64  # K=40 -> HBM tier
+        BucketedPairScorer.PACK_MAX_SEG = 0  # keep packing out
+        out1 = Scanner(profiles, ScanConfig(engine="pallas-interpret"),
+                       scorer=lambda costs: BucketedPairScorer(
+                           costs, interpret=True, w=8)).run(
+            seqs, str(tmp_path / "single"))
+        out2 = Scanner(profiles,
+                       ScanConfig(engine="pallas-multi-interpret"),
+                       scorer=lambda costs: BucketedPairScorer(
+                           costs, interpret=True, w=8,
+                           devices=jax.devices())).run(
+            seqs, str(tmp_path / "multi"))
+    finally:
+        BucketedPairScorer.MAX_PALLAS_KP = saved
+        BucketedPairScorer.PACK_MAX_SEG = saved_pack
     assert open(out1).read() == open(out2).read()
 
 
