@@ -84,9 +84,15 @@ def _items(profiles, seqs, dev):
     return items
 
 
-def test_packed_scorer_matches_plain_scorer():
+def test_packed_scorer_matches_plain_scorer(monkeypatch):
     """PackedPairScorer (whole-read windows packed + long-read windows on
-    the inner unpacked tier) returns exactly PairScorer's scores."""
+    the inner unpacked tier) returns exactly PairScorer's scores.
+
+    NLB floor dropped: interpret kernels execute/compile in proportion
+    to padded block counts, and the production floor pads every window
+    to >=1280 positions."""
+    monkeypatch.setattr(PairScorer, "NLB_FLOOR", 1)
+    monkeypatch.setattr(PackedPairScorer, "NLB_FLOOR", 1)
     ks = [30, 44, 44, 58]
     profiles = [sample_profile(seed=11 + i, core_size=k)
                 for i, k in enumerate(ks)]
