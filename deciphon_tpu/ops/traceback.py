@@ -294,6 +294,39 @@ def unzip_device_batch(xnodes, nodes, lengths, K: int):
     return paths
 
 
+def assemble_path_entries(entries, fetched, out: dict) -> None:
+    """Assemble fetched path entries into {id(item) -> (sids, sizes)}.
+
+    `entries` come from the scorers' paths_group_dispatch (and the
+    pipeline's lax.scan fallback): (items, sts, szs, ns, oks, xn, nd,
+    lengths, K) — `fetched` holds the host copies of (sts, szs, ns, oks)
+    per entry, transferred by the caller in ONE batched device_get for
+    the whole wave (per-scorer fetches each pay a host-link round trip).
+    Entries whose bounded device walk overflowed fall back to the exact
+    host walk over their (still device-resident) trellis selections.
+    """
+    for i, e in enumerate(entries):
+        items, _, _, _, _, xn, nd, lengths, K = e
+        sts, szs, ns, oks = fetched[4 * i:4 * i + 4]
+        for b, it in enumerate(items):
+            if not bool(oks[b]):
+                out[id(it)] = path_arrays(unzip(
+                    np.asarray(xn[b]).astype(np.uint32),
+                    np.asarray(nd[b]).astype(np.uint16),
+                    int(lengths[b]), K))
+                continue
+            # paths stay ARRAYS end to end (per-step Python tuple
+            # building was a measured survivor-heavy host cost): the
+            # walk emits T..S order, so reverse and prepend S
+            n = int(ns[b])
+            sid = np.empty(n + 1, np.int64)
+            sz = np.empty(n + 1, np.int64)
+            sid[0], sz[0] = st.STATE_S, 0
+            sid[1:] = sts[b, n - 1::-1]
+            sz[1:] = szs[b, n - 1::-1]
+            out[id(it)] = (sid, sz)
+
+
 def path_arrays(steps):
     """(state, size) step list -> (sids (n,) int64, sizes (n,) int64).
 

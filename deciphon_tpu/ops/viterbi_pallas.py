@@ -362,9 +362,7 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
 
 
 def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
-                    alt_ref, null_ref,
-                    MA, PM, PI, PSM, ST, SS, Tfin, Rfin, *,
-                    kappa, Kp, nlb_dim, w=W):
+                    *refs, kappa, Kp, nlb_dim, w=W, chain=False):
     """Push/pending-accumulator formulation of the frame Viterbi.
 
     The pull form (_kernel) reads 5 ring slots per step and redoes the
@@ -399,11 +397,34 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     (5, W).  Everything else (all DP state) still fits VMEM: the rings
     are ~9.5 MB at Kp = 16512, W = 8, which is what makes streaming only
     the table sufficient to reach the reference's K <= 16384 limit
-    (c-core/model.h:12) without tiling the recurrence itself."""
+    (c-core/model.h:12) without tiling the recurrence itself.
+
+    Chain mode (chain=True, the multi-window-slot tier): each sublane
+    slot carries SEVERAL windows packed back-to-back at l-block
+    granularity — the fix for the w=8 slot-floor loss (singleton
+    profiles with few windows per length rung could not fill the
+    minimum sublane width; the reference's striping wastes nothing at
+    any K, c-core/viterbi.c:195-221).  xt_ref/len_ref become per-BLOCK
+    blocks ((1, 1, W, 16)/(1, 1, W, 1), carrying the ACTIVE window's
+    xtrans and chain-coordinate end per slot), an extra reset_ref
+    (1, 1, W, 1) marks slots whose window STARTS at this block (the DP
+    state is reseeded exactly like _init, masked per slot), and the
+    outputs are written per block ((NPAIR, NLB, W, 1)) — the caller
+    compacts them by each window's final block.  Because window starts
+    are block-aligned and kappa % 5 == 0, every position's slot
+    arithmetic and f32 op order are identical to a window scored from
+    l=0 in the unchained kernel, so chained scores are BIT-EXACT."""
+    if chain:
+        (reset_ref, alt_ref, null_ref,
+         MA, PM, PI, PSM, ST, SS, Tfin, Rfin) = refs
+    else:
+        (alt_ref, null_ref,
+         MA, PM, PI, PSM, ST, SS, Tfin, Rfin) = refs
     W = w  # window-group width (shadows the module default)
     nlb = pl.program_id(nlb_dim)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (W, Kp), 1)
-    xt = xt_ref[0]  # (W, 16)
+    xt = xt_ref[0, 0] if chain else xt_ref[0]  # (W, 16)
+    lens = len_ref[0, 0] if chain else len_ref[0]  # (W, 1)
 
     def xtc(j):
         return xt[:, j:j + 1]
@@ -424,14 +445,39 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
         PSM[...] = jnp.full((4, 5, W, 1), INF)
         ST[...] = jnp.full((3, W, Kp), INF)
         inf_w1 = jnp.full((W, 1), INF)
-        SS[...] = jnp.stack([
-            jnp.zeros((W, 1)),  # S_0 = 0
-            xtc(XT_SB),  # B_0
-            inf_w1, inf_w1, inf_w1, inf_w1,  # N J C E
-            -xtc(XT_RR),  # R_0 (so R_1 = nil_1)
-        ])
+        if chain:
+            # seeds come from the per-slot reseed below (slot windows
+            # start at arbitrary blocks); pad slots stay +inf forever
+            SS[...] = jnp.full((7, W, 1), INF)
+        else:
+            SS[...] = jnp.stack([
+                jnp.zeros((W, 1)),  # S_0 = 0
+                xtc(XT_SB),  # B_0
+                inf_w1, inf_w1, inf_w1, inf_w1,  # N J C E
+                -xtc(XT_RR),  # R_0 (so R_1 = nil_1)
+            ])
         Tfin[...] = jnp.full((W, 1), INF)
         Rfin[...] = jnp.full((W, 1), INF)
+
+    if chain:
+        rs = reset_ref[0, 0] > 0  # (W, 1) slots starting a window here
+
+        @pl.when(jnp.max(reset_ref[0, 0]) > 0)
+        def _reseed():
+            PM[...] = jnp.where(rs[None], INF, PM[...])
+            PI[...] = jnp.where(rs[None], INF, PI[...])
+            PSM[...] = jnp.where(rs[None, None], INF, PSM[...])
+            ST[...] = jnp.where(rs[None], INF, ST[...])
+            inf_w1 = jnp.full((W, 1), INF)
+            seeds = jnp.stack([
+                jnp.zeros((W, 1)),  # S_0 = 0
+                xtc(XT_SB),  # B_0 (this block's xt IS the new window's)
+                inf_w1, inf_w1, inf_w1, inf_w1,  # N J C E
+                -xtc(XT_RR),  # R_0 (so R_1 = nil_1)
+            ])
+            SS[...] = jnp.where(rs[None], seeds, SS[...])
+            Tfin[...] = jnp.where(rs, INF, Tfin[...])
+            Rfin[...] = jnp.where(rs, INF, Rfin[...])
 
     def phase(i, r, sm, si, sd, ss):
         """One DP position l = nlb*kappa + 5*i + r + 1 (slot arithmetic
@@ -491,7 +537,7 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
                           J_l + xtc(XT_JB))
         T_l = jnp.minimum(E_l + xtc(XT_ET), C_l + xtc(XT_CT))
 
-        at_end = len_ref[0] == l
+        at_end = lens == l
         Tfin[...] = jnp.where(at_end, T_l, Tfin[...])
         Rfin[...] = jnp.where(at_end, R_l, Rfin[...])
 
@@ -516,8 +562,11 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     # everywhere), this skips the ENTIRE body — pad pairs cost only the
     # grid's block DMAs, which is what makes padded chunk dims near-free
     # (the scheduler's comment contract).  Trailing blocks of a length
-    # rung (windows quantized up to 25%) are skipped the same way.
-    @pl.when(nlb * kappa < jnp.max(len_ref[0]))
+    # rung (windows quantized up to 25%) are skipped the same way.  In
+    # chain mode `lens` is per-block (the active window's chain-coord
+    # end, 0 when no slot's chain covers this block), so the same test
+    # skips trailing pad blocks of under-filled chains.
+    @pl.when(nlb * kappa < jnp.max(lens))
     def _run():
         jax.lax.fori_loop(0, kappa // 5, macro_step, 0)
 
@@ -784,6 +833,164 @@ def viterbi_scores_pairs(pidx, tables, tvecs, xts, lengths, codes, *,
     return _scores_pairs_jit(pidx, tables, tvecs, xts, lengths, codes,
                              kappa=kappa, interpret=interpret, mode=mode,
                              prefetch=prefetch)
+
+
+# ---------------------------------------------------------------------------
+# Multi-window chained slots (the round-5 slot-floor fix).
+#
+# One sublane slot carries a CHAIN of windows packed back-to-back at
+# l-block granularity; the kernel reseeds the DP per slot at each window's
+# first block and latches T/R at its end position (see _kernel_pending's
+# chain-mode docstring).  The host ships only compact per-window metadata
+# ((N, W, CMAX) int32 arrays + a small xtrans LUT); the per-block arrays
+# the kernel consumes (active-window end/xt/reset per (pair, block, slot))
+# and the fragment-code gather are expanded HERE, on device, inside one
+# fused jit — a few KB cross the host link per wave regardless of window
+# count.  Outputs come back compacted per window ((N, W, CMAX) costs via a
+# take_along_axis on each window's final block).
+# ---------------------------------------------------------------------------
+
+
+def _scores_pairs_chain_core(pidx, tables, tvecs, xts, lengths, resets,
+                             codes, *, kappa, interpret):
+    """Chained pairs kernel call.
+
+    xts (N, NLB, W, 16) f32; lengths/resets (N, NLB, W, 1) i32;
+    codes (N, NLB, kappa, 5, W) i32 START-indexed.
+    Returns (alt, nul): (N, NLB, W) f32 per-block latched costs."""
+    _, _, Kp = tables.shape
+    NPAIR, NLB = codes.shape[0], codes.shape[1]
+    W = codes.shape[4]
+    if kappa % 5:
+        raise ValueError("pending mode requires kappa % 5 == 0")
+    inner = functools.partial(_kernel_pending, kappa=kappa, Kp=Kp,
+                              nlb_dim=1, w=W, chain=True)
+
+    def kernel(pidx_ref, *rest):
+        inner(*rest)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NPAIR, NLB),
+        in_specs=[
+            pl.BlockSpec((1, 1, kappa, 5, W),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TABLE_SIZE, Kp),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Kp),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 16),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 1),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 1),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, W, 1),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 1),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # MA gather staging
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # PM pending M
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # PI pending I
+            pltpu.VMEM((4, 5, W, 1), jnp.float32),  # PSM pending N J C R
+            pltpu.VMEM((3, W, Kp), jnp.float32),  # ST prev M/I/D
+            pltpu.VMEM((7, W, 1), jnp.float32),  # SS prev specials
+            pltpu.VMEM((W, 1), jnp.float32),  # T final
+            pltpu.VMEM((W, 1), jnp.float32),  # R final
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((NPAIR, NLB, W, 1), jnp.float32),
+        jax.ShapeDtypeStruct((NPAIR, NLB, W, 1), jnp.float32),
+    ]
+    alt, nul = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(pidx, codes, tables, tvecs, xts, lengths, resets)
+    return alt[..., 0], nul[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("kappa", "nlb", "interpret"))
+def _chained_scores_jit(pidx, tables, tvecs, win_sblk, win_len, win_gstart,
+                        win_xti, xt_lut, codes_all, *, kappa, nlb,
+                        interpret):
+    """Expand compact per-window chain metadata and score.
+
+    win_sblk/win_len/win_gstart/win_xti: (N, W, C) int32 — chain window
+    c of slot w: starting l-block within the chain, nt length (0 = pad),
+    global code-row offset (DeviceSeqCodes), and xtrans LUT row.
+    xt_lut (LUT_CAP, 16) f32.  Returns (alt, nul): (N, W, C) f32.
+    """
+    N, Wd, C = win_sblk.shape
+    b = jnp.arange(nlb, dtype=jnp.int32)  # (NLB,)
+    blklen = -(-win_len // kappa)  # blocks per window (ceil)
+    end_blk = win_sblk + blklen  # exclusive, (N, W, C)
+    cov = ((win_sblk[..., None] <= b) & (b < end_blk[..., None])
+           & (win_len[..., None] > 0))  # (N, W, C, NLB)
+    anyc = jnp.any(cov, axis=2)  # (N, W, NLB)
+    cidx = jnp.argmax(cov, axis=2)  # active window per block (windows
+    # of one slot are disjoint in blocks, so argmax is exact)
+
+    def sel(a):  # (N, W, C) -> per-block (N, W, NLB)
+        return jnp.take_along_axis(a, cidx, axis=2)
+
+    end_chain = win_sblk * kappa + win_len  # chain-coord end positions
+    lens_blk = jnp.where(anyc, sel(end_chain), 0)
+    reset_blk = (anyc & (b[None, None] == sel(win_sblk))).astype(jnp.int32)
+    pad_start = codes_all.shape[0] - 1
+    starts_blk = jnp.where(anyc, sel(win_gstart) + (b - sel(win_sblk))
+                           * kappa, pad_start)
+    xts_blk = jnp.take(xt_lut, jnp.where(anyc, sel(win_xti), 0), axis=0)
+
+    # kernel layouts: (N, NLB, W, ...)
+    xts_k = xts_blk.transpose(0, 2, 1, 3)
+    lens_k = lens_blk.transpose(0, 2, 1)[..., None]
+    rs_k = reset_blk.transpose(0, 2, 1)[..., None]
+    # per-(pair, block, slot) code gather: each block is one contiguous
+    # (kappa, 5) slice of the scan-resident code array (block-slice
+    # lax.gather — the measured-fast formulation, see _ck_from_starts)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+    st = starts_blk.transpose(0, 2, 1).reshape(-1, 1)
+    ck = jax.lax.gather(codes_all, st, dn, slice_sizes=(kappa, 5),
+                        mode=jax.lax.GatherScatterMode.CLIP)
+    ck = ck.reshape(N, nlb, Wd, kappa, 5).transpose(0, 1, 3, 4, 2)
+
+    alt, nul = _scores_pairs_chain_core(
+        pidx, tables, tvecs, xts_k, lens_k, rs_k, ck,
+        kappa=kappa, interpret=interpret)
+    # compact: each window's cost was latched by the end of its final
+    # block and persists in later same-window blocks' output rows
+    eb = jnp.clip(end_blk - 1, 0, nlb - 1)  # (N, W, C)
+    alt_w = jnp.take_along_axis(alt.transpose(0, 2, 1), eb, axis=2)
+    nul_w = jnp.take_along_axis(nul.transpose(0, 2, 1), eb, axis=2)
+    return alt_w, nul_w
+
+
+def viterbi_scores_pairs_chained(pidx, tables, tvecs, win_sblk, win_len,
+                                 win_gstart, win_xti, xt_lut, codes_all, *,
+                                 nlb, kappa=None, interpret=False):
+    """Score NPAIR (profile, slot-chain-group) pairs, W slots of up to C
+    chained windows each.  See _chained_scores_jit for the argument
+    contract; scores are bit-exact vs viterbi_scores_pairs on the same
+    windows."""
+    kappa, mode, _ = _resolve(kappa, "pending", None)
+    assert mode == "pending"
+    return _chained_scores_jit(pidx, tables, tvecs, win_sblk, win_len,
+                               win_gstart, win_xti, xt_lut, codes_all,
+                               kappa=kappa, nlb=nlb, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -67,6 +67,27 @@ def _scores_from_starts_shmap(mesh: Mesh, kappa: int, nlb: int,
         out_specs=(sh, sh), check_vma=False))
 
 
+@functools.lru_cache(maxsize=None)
+def _scores_chained_shmap(mesh: Mesh, kappa: int, nlb: int,
+                          interpret: bool):
+    """Mesh-jitted chained phase-1 wave (multi-window slots): pair dim
+    sharded, tables/LUT/codes replicated — the chain tier composes with
+    the device-parallel engine instead of degrading to rung buckets
+    (round-4 verdict weak #3)."""
+    from ..ops import viterbi_pallas as vp
+
+    def fn(pidx, tables, tvecs, sblk, wlen, gst, xti, lut, codes_all):
+        return vp.viterbi_scores_pairs_chained(
+            pidx, tables, tvecs, sblk, wlen, gst, xti, lut, codes_all,
+            nlb=nlb, kappa=kappa, interpret=interpret)
+
+    sh, rep = P(MESH_AXIS), P()
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(sh, rep, rep, sh, sh, sh, sh, rep, rep),
+        out_specs=(sh, sh), check_vma=False))
+
+
 class MultiDevicePairScorer(PairScorer):
     """PairScorer whose phase-1 waves run SPMD over a device mesh."""
 
@@ -142,3 +163,25 @@ class MultiDevicePairScorer(PairScorer):
         return fn(jax.device_put(pidx, sh), self.tables, self.tvecs,
                   jax.device_put(xts, sh), jax.device_put(lens, sh),
                   jax.device_put(starts, sh), self.dev_codes.dev)
+
+    def _invoke_scores_chained(self, pidx, sblk, wlen, gst, xti, nlb):
+        n = pidx.shape[0]
+        npad = -(-n // self.ndev) * self.ndev - n
+        if npad:
+            # pad the pair dim to the mesh size; pad pairs carry zero
+            # window lengths so no block is ever active on them
+            pidx = np.pad(pidx, ((0, npad),))
+            sblk = np.pad(sblk, ((0, npad), (0, 0), (0, 0)))
+            wlen = np.pad(wlen, ((0, npad), (0, 0), (0, 0)))
+            gst = np.pad(gst, ((0, npad), (0, 0), (0, 0)))
+            xti = np.pad(xti, ((0, npad), (0, 0), (0, 0)))
+        sh = NamedSharding(self.mesh, P(MESH_AXIS))
+        rep = NamedSharding(self.mesh, P())
+        if getattr(self._xt_lut_dev, "sharding", None) != rep:
+            self._xt_lut_dev = jax.device_put(self._xt_lut_dev, rep)
+        fn = _scores_chained_shmap(self.mesh, self.kappa, int(nlb),
+                                   self.interpret)
+        return fn(jax.device_put(pidx, sh), self.tables, self.tvecs,
+                  jax.device_put(sblk, sh), jax.device_put(wlen, sh),
+                  jax.device_put(gst, sh), jax.device_put(xti, sh),
+                  self._xt_lut_dev, self.dev_codes.dev)

@@ -405,26 +405,28 @@ class Scanner:
         """
         import jax
 
-        from ..ops.traceback import _unzip_batch_jit, path_arrays, unzip
+        from ..ops.traceback import _unzip_batch_jit, assemble_path_entries
         from ..ops.viterbi_jax import viterbi_path_batch
 
         m = self.metrics
 
         out: dict[int, list] = {}
         sitems = [it for it, _ in survivors]
-        if hasattr(self.scorer, "paths"):
+        inflight: list[tuple] = []
+        if hasattr(self.scorer, "paths_dispatch"):
             # Pallas path kernel + device traceback for every tier that
-            # has one; only large-K (HBM-table) survivors fall through
-            got, sitems = self.scorer.paths(sitems)
-            out.update(got)
-        if not sitems:
-            return out
+            # has one; only large-K (HBM-table) survivors fall through.
+            # Entries stay un-fetched so the WHOLE wave's step arrays
+            # (every scorer + the fallback groups below) cross in one
+            # device_get — per-scorer fetches each paid a host-link
+            # round trip (the measured survivor-heavy dominant cost).
+            entries, sitems = self.scorer.paths_dispatch(sitems)
+            inflight.extend((*e, 0) for e in entries)
 
         groups: dict[tuple[int, int], list[PairItem]] = {}
         for it in sitems:
             groups.setdefault((it.p_idx, _pad_len(it.win.length)),
                               []).append(it)
-        inflight: list[tuple] = []
         inflight_bytes = 0
 
         def collect(entries):
@@ -434,24 +436,7 @@ class Scanner:
                 [a for e in entries for a in (e[1], e[2], e[3], e[4])])
             if m is not None:
                 m.add_wall("phase2_collect", time.perf_counter() - t0)
-            for i, e in enumerate(entries):
-                sub, _, _, _, _, xn, nd, lengths, K = e[:9]
-                sts, szs, ns, oks = flat[4 * i:4 * i + 4]
-                for b, it in enumerate(sub):
-                    if not bool(oks[b]):
-                        # bounded-walk overflow (pathological path):
-                        # exactness fallback to the host walk
-                        out[id(it)] = path_arrays(unzip(
-                            np.asarray(xn[b]), np.asarray(nd[b]),
-                            int(lengths[b]), K))
-                        continue
-                    n = int(ns[b])
-                    sid = np.empty(n + 1, np.int64)
-                    sz = np.empty(n + 1, np.int64)
-                    sid[0], sz[0] = st.STATE_S, 0
-                    sid[1:] = sts[b, n - 1::-1]
-                    sz[1:] = szs[b, n - 1::-1]
-                    out[id(it)] = (sid, sz)
+            assemble_path_entries([e[:9] for e in entries], flat, out)
 
         for (p_idx, Lpad), items in groups.items():
             costs = self.costs[p_idx]

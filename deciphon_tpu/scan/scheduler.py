@@ -207,6 +207,15 @@ class _Bucket:
     w: int = W
 
 
+@dataclass
+class _ChainChunk:
+    """Result-mapping for one chained kernel call: groups[gi][wi] is the
+    ordered window chain of slot wi of pair gi (scores come back as
+    (N, W, C) arrays indexed the same way)."""
+
+    groups: list  # [gi][wi] -> list[PairItem]
+
+
 # Groups per kernel call: full chunks use this fixed leading dim (one
 # compiled program covers most of the work), the remainder pads to a
 # power of two (few small shapes) — the compiled-shape budget that keeps
@@ -379,6 +388,18 @@ class PairScorer:
     # unbounded HBM.
     INFLIGHT_BYTES = 1 << 30
 
+    # Multi-window chained slots (the round-5 slot-floor fix): windows
+    # pack back-to-back into sublane slots with per-slot DP reseeds
+    # (ops/viterbi_pallas.py chain mode), so slots stay full regardless
+    # of how many windows each profile has per length rung — and the
+    # compiled-shape space collapses to the {64, 8, 1} chunk dims at ONE
+    # pinned (cap, cmax, w) per scorer instead of the NLB rung ladder.
+    CHAIN = True
+    # xtrans LUT capacity (rows are distinct window lengths per scan);
+    # fixed so the LUT shape never keys a recompile.  Windows whose
+    # length overflows the LUT fall back to the classic bucket path.
+    XT_LUT_CAP = 1024
+
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
                  kappa: int | None = None, w: int | None = None,
                  hbm_table: bool = False):
@@ -402,10 +423,17 @@ class PairScorer:
         self.dev_codes: DeviceSeqCodes | None = None
         self.metrics = None  # optional ScanMetrics for phase walls
         self._w_pinned: int | None = None
+        self._chain_pin: tuple[int, int, int] | None = None
+        self._xt_lut = np.zeros((self.XT_LUT_CAP, 16), np.float32)
+        self._xt_lut_idx: dict = {}
+        self._xt_lut_dev = None
 
     def set_device_codes(self, dev_codes: DeviceSeqCodes | None) -> None:
         self.dev_codes = dev_codes
         self._w_pinned = None  # new scan: re-derive the group width once
+        self._chain_pin = None
+        self._xt_lut_idx.clear()
+        self._xt_lut_dev = None
 
     def _invoke_scores_from_starts(self, pidx, xts, lens, starts, nlb):
         """The production phase-1 kernel call (device-resident codes).
@@ -439,10 +467,187 @@ class PairScorer:
         return self._w_pinned
 
     def dispatch(self, items: list[PairItem]) -> list:
-        """Enqueue all bucket kernel calls without blocking (device work
-        overlaps host packing of subsequent buckets)."""
+        """Enqueue all kernel calls for one wave without blocking (device
+        work overlaps host packing of subsequent buckets).  Production
+        path: chained multi-window slots; classic rung buckets remain for
+        host-code engines, the HBM tier, and as the chain-overflow
+        fallback (DECIPHON_NO_CHAIN=1 forces them for ablations)."""
+        use_dev = self.dev_codes is not None and self.mode == "pending"
+        if (use_dev and self.CHAIN and not self.hbm_table and items
+                and os.environ.get("DECIPHON_NO_CHAIN", "").lower()
+                not in ("1", "true")):
+            return self._dispatch_chained(items)
+        return self._dispatch_classic(items)
+
+    # -- chained multi-window slots (production phase-1 path) ----------
+
+    def _xt_index(self, it: PairItem) -> int | None:
+        """Row of the per-scan xtrans LUT for this window (None = LUT
+        full; the item falls back to the classic path)."""
+        key = (it.multi_hits, it.hmmer3_compat, it.win.length)
+        idx = self._xt_lut_idx.get(key)
+        if idx is None:
+            if len(self._xt_lut_idx) >= self.XT_LUT_CAP:
+                return None
+            idx = len(self._xt_lut_idx)
+            self._xt_lut_idx[key] = idx
+            self._xt_lut[idx, :13] = it.xt
+            self._xt_lut_dev = None  # re-upload on next dispatch
+        return idx
+
+    @staticmethod
+    def _lpt_pack(wins: list[tuple[PairItem, int]], nslots: int,
+                  cap: float, cmax: float) -> list[list]:
+        """Least-loaded (LPT) bin packing of (item, blocks) into slots.
+
+        Starts with `nslots` empty slots and opens extra ones when no
+        slot satisfies the (cap blocks, cmax windows) bounds; returns
+        non-empty slots as [(items, load_blocks)]."""
+        slots: list[list[PairItem]] = [[] for _ in range(nslots)]
+        loads = [0] * nslots
+        for it, b in wins:
+            best = -1
+            for i in range(len(slots)):
+                if (loads[i] + b <= cap and len(slots[i]) < cmax
+                        and (best < 0 or loads[i] < loads[best])):
+                    best = i
+            if best < 0:
+                slots.append([])
+                loads.append(0)
+                best = len(slots) - 1
+            slots[best].append(it)
+            loads[best] += b
+        return [(s, l) for s, l in zip(slots, loads) if s]
+
+    def _dispatch_chained(self, items: list[PairItem]) -> list:
         import jax.numpy as jnp
 
+        m = self.metrics
+        kappa = self.kappa
+
+        def blk(it):
+            return -(-it.win.length // kappa)
+
+        # deterministic packing order: longest first, stable tiebreak
+        fallback: list[PairItem] = []
+        per: dict[int, list[tuple[PairItem, int]]] = {}
+        pre: dict[int, list[PairItem]] = {}
+        for it in items:
+            pre.setdefault(it.p_idx, []).append(it)
+
+        if self._chain_pin is None:
+            # pin (cap, cmax, w) for the scan from the first wave: LPT
+            # into w slots unbounded, then cap = the max slot load seen
+            # (>= the longest single window, so same-length waves always
+            # repack into the same shape)
+            maxblk = max(blk(it) for it in items)
+            bmax = max(sum(blk(it) for it in g) for g in pre.values())
+            nslots = -(-bmax // max(maxblk, 1))
+            w_c = max(8, min(self.w, next_pow2(max(nslots, 1))))
+            cap = cmax = 0
+            for g in pre.values():
+                wins = sorted(((it, blk(it)) for it in g),
+                              key=lambda x: (-x[1], x[0].s_idx,
+                                             x[0].win.idx))
+                for slot, load in self._lpt_pack(wins, w_c, float("inf"),
+                                                 float("inf")):
+                    cap = max(cap, load)
+                    cmax = max(cmax, len(slot))
+            cap = max(cap, self.NLB_FLOOR)
+            self._chain_pin = (cap, next_pow2(cmax), w_c)
+        cap, cmax, w_c = self._chain_pin
+
+        for it in items:
+            b = blk(it)
+            if b > cap or self._xt_index(it) is None:
+                fallback.append(it)
+            else:
+                per.setdefault(it.p_idx, []).append((it, b))
+
+        inflight = list(self._dispatch_classic(fallback)) if fallback \
+            else []
+        if not per:
+            return inflight
+        if self._xt_lut_dev is None:
+            self._xt_lut_dev = jnp.asarray(self._xt_lut)
+
+        # pack each profile's windows into slots, slots into w_c-wide
+        # pairs, pairs into {64, 8, 1} chunks
+        pairs: list[tuple[int, list[list[PairItem]]]] = []
+        for p_idx in sorted(per):
+            wins = sorted(per[p_idx],
+                          key=lambda x: (-x[1], x[0].s_idx, x[0].win.idx))
+            slots = [s for s, _ in self._lpt_pack(wins, w_c, cap, cmax)]
+            for i in range(0, len(slots), w_c):
+                pairs.append((p_idx, slots[i:i + w_c]))
+
+        results: dict[int, tuple[float, float]] = {}
+        inflight_bytes = 0
+        i0 = 0
+        for size in chunk_sizes(len(pairs)):
+            chunk = pairs[i0:i0 + size]
+            i0 += size
+            t0 = time.perf_counter()
+            N = pad_groups(size)
+            pidx = np.zeros((N,), np.int32)
+            sblk = np.zeros((N, w_c, cmax), np.int32)
+            wlen = np.zeros((N, w_c, cmax), np.int32)
+            gst = np.full((N, w_c, cmax), self.dev_codes.pad_start,
+                          np.int32)
+            xti = np.zeros((N, w_c, cmax), np.int32)
+            groups = []
+            for gi, (p_idx, slots) in enumerate(chunk):
+                pidx[gi] = p_idx
+                groups.append(slots)
+                for wi, slot in enumerate(slots):
+                    b = 0
+                    for ci, it in enumerate(slot):
+                        sblk[gi, wi, ci] = b
+                        wlen[gi, wi, ci] = it.win.length
+                        gst[gi, wi, ci] = it.gstart
+                        xti[gi, wi, ci] = self._xt_index(it)
+                        b += blk(it)
+            t1 = time.perf_counter()
+            alt, nul = self._invoke_scores_chained(
+                pidx, sblk, wlen, gst, xti, cap)
+            t2 = time.perf_counter()
+            if m is not None:
+                m.add_wall("pack", t1 - t0)
+                m.add_wall("dispatch", t2 - t1)
+                if _sync_debug():
+                    np.asarray(alt).sum()
+                    Kp = self.tables.shape[2]
+                    m.add_wall(
+                        f"bkt_chain_kp{Kp}_cap{cap}_n{N}_w{w_c}",
+                        time.perf_counter() - t2)
+            nbytes = N * cap * kappa * 5 * w_c * 4
+            inflight.append((_ChainChunk(groups), alt, nul, nbytes))
+            inflight_bytes += nbytes
+            while inflight_bytes > self.INFLIGHT_BYTES and len(inflight) > 1:
+                old = inflight.pop(0)
+                self._collect_one(old, results, m)
+                inflight_bytes -= old[3]
+        if results:
+            inflight.insert(0, results)
+        return inflight
+
+    def _invoke_scores_chained(self, pidx, sblk, wlen, gst, xti, nlb):
+        """The chained phase-1 kernel call; device-parallel scorers
+        override this to shard the pair dim over a mesh."""
+        import jax.numpy as jnp
+
+        return self._vp.viterbi_scores_pairs_chained(
+            jnp.asarray(pidx), self.tables, self.tvecs,
+            jnp.asarray(sblk), jnp.asarray(wlen), jnp.asarray(gst),
+            jnp.asarray(xti), self._xt_lut_dev, self.dev_codes.dev,
+            nlb=nlb, kappa=self.kappa, interpret=self.interpret)
+
+    def _dispatch_classic(self, items: list[PairItem]) -> list:
+        """Rung-bucketed dispatch (one window per slot)."""
+        import jax.numpy as jnp
+
+        if not items:
+            return []
         m = self.metrics
         w_eff = self._w_eff(items)
         use_dev = self.dev_codes is not None and self.mode == "pending"
@@ -505,6 +710,13 @@ class PairScorer:
         nul = np.asarray(nul)
         if m is not None:
             m.add_wall("collect", time.perf_counter() - t0)
+        if isinstance(bucket, _ChainChunk):
+            for gi, g in enumerate(bucket.groups):
+                for wi, slot in enumerate(g):
+                    for ci, it in enumerate(slot):
+                        results[id(it)] = (float(nul[gi, wi, ci]),
+                                           float(alt[gi, wi, ci]))
+            return
         for gi, g in enumerate(bucket.groups):
             for wi, it in enumerate(g):
                 results[id(it)] = (float(nul[gi, wi]), float(alt[gi, wi]))
@@ -527,23 +739,25 @@ class PairScorer:
 
     PATH_KAPPA = 32  # pull-mode l-block size of the path kernel
 
-    def paths_group(self, items: list[PairItem]) -> dict[int, list]:
-        """Trellis + traceback for LRT survivors on device.
+    def paths_group_dispatch(self, items: list[PairItem]) -> list:
+        """Trellis + traceback dispatch for LRT survivors on device.
 
         Runs the Pallas path kernel (ops/viterbi_pallas.py
         viterbi_paths_pairs, bit-exact trellis parity with the
-        viterbi_jax oracle) and the device traceback walk; only the
-        (state, size) step arrays cross to the host.  Not available for
-        the HBM-table tier (the VMEM emission table does not fit) — the
+        viterbi_jax oracle) and the device traceback walk, WITHOUT
+        fetching: returns path entries (ops/traceback.py
+        assemble_path_entries contract) so the caller can fetch every
+        scorer's step arrays of a wave in ONE batched device_get (each
+        per-scorer fetch pays a full host-link round trip — the measured
+        dominant cost of survivor-heavy waves).  Not available for the
+        HBM-table tier (the VMEM emission table does not fit) — the
         caller falls back to the lax.scan path pass there."""
-        import jax
         import jax.numpy as jnp
 
-        from ..ops.traceback import _unzip_batch_jit, path_arrays, unzip
+        from ..ops.traceback import _unzip_batch_jit
 
-        out: dict[int, list] = {}
         if self.hbm_table or not items:
-            return out
+            return []
         kappa = self.PATH_KAPPA
         w = 8
         use_dev = self.dev_codes is not None
@@ -613,37 +827,8 @@ class PairScorer:
             if m is not None:
                 m.add_wall("phase2_path", time.perf_counter() - t0)
             inflight.append((flat_items, sts, szs, ns, oks, xn_sel, nd_sel,
-                             lengths))
-        # one batched fetch of every bucket's step arrays
-        t0 = time.perf_counter()
-        flat = jax.device_get(
-            [a for e in inflight for a in (e[1], e[2], e[3], e[4])])
-        if m is not None:
-            m.add_wall("phase2_collect", time.perf_counter() - t0)
-        from .. import states as st
-
-        for i, (flat_items, _, _, _, _, xn_sel, nd_sel, lengths) in \
-                enumerate(inflight):
-            sts, szs, ns, oks = flat[4 * i:4 * i + 4]
-            for b, it in enumerate(flat_items):
-                if not bool(oks[b]):
-                    steps = unzip(
-                        np.asarray(xn_sel[b]).astype(np.uint32),
-                        np.asarray(nd_sel[b]).astype(np.uint16),
-                        int(lengths[b]), self.tables.shape[2])
-                    out[id(it)] = path_arrays(steps)
-                    continue
-                # paths stay ARRAYS end to end (per-step Python tuple
-                # building was a measured survivor-heavy host cost): the
-                # walk emits T..S order, so reverse and prepend S
-                n = int(ns[b])
-                sid = np.empty(n + 1, np.int64)
-                sz = np.empty(n + 1, np.int64)
-                sid[0], sz[0] = st.STATE_S, 0
-                sid[1:] = sts[b, n - 1::-1]
-                sz[1:] = szs[b, n - 1::-1]
-                out[id(it)] = (sid, sz)
-        return out
+                             lengths, self.tables.shape[2]))
+        return inflight
 
 
 class PackedPairScorer:
@@ -809,7 +994,7 @@ class PackedPairScorer:
         return inflight
 
     def _collect_entry(self, entry, results, m=None) -> None:
-        if isinstance(entry[0], _Bucket):  # inner unpacked entry
+        if isinstance(entry[0], (_Bucket, _ChainChunk)):  # inner entry
             PairScorer._collect_one(entry, results, m)
             return
         chunk, alt, nul = entry[0], entry[1], entry[2]
@@ -836,8 +1021,8 @@ class PackedPairScorer:
     def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
         return self.collect(self.dispatch(items))
 
-    def paths_group(self, items: list[PairItem]) -> dict[int, list]:
-        return self.inner.paths_group(items)
+    def paths_group_dispatch(self, items: list[PairItem]) -> list:
+        return self.inner.paths_group_dispatch(items)
 
 
 class BucketedPairScorer:
@@ -1056,13 +1241,16 @@ class BucketedPairScorer:
     def score(self, items: list[PairItem]) -> dict[int, tuple[float, float]]:
         return self.collect_all(self.dispatch_all(items))
 
-    def paths(self, items: list[PairItem]):
-        """Phase-2 trellis+traceback via each sub-scorer's path kernel.
+    def paths_dispatch(self, items: list[PairItem]):
+        """Phase-2 trellis+traceback dispatch via each sub-scorer's path
+        kernel.
 
-        Returns (paths {id -> path}, leftover items) — leftover are items
-        owned by tiers without a path kernel (HBM-table large-K profiles,
-        custom factories); the pipeline runs the lax.scan fallback for
-        them."""
+        Returns (entries, leftover items): `entries` are un-fetched path
+        entries (ops/traceback.py assemble_path_entries) — the pipeline
+        fetches every scorer's step arrays of a wave in ONE device_get —
+        and leftover items belong to tiers without a path kernel
+        (HBM-table large-K profiles, custom factories); the pipeline
+        runs the lax.scan fallback for them."""
         by_scorer: dict[int, list[PairItem]] = {}
         remap: dict[int, int] = {}
         for it in items:
@@ -1070,20 +1258,20 @@ class BucketedPairScorer:
             remap[id(it)] = it.p_idx
             it.p_idx = local
             by_scorer.setdefault(si, []).append(it)
-        out: dict[int, list] = {}
+        entries: list = []
         leftover: list[PairItem] = []
         try:
             for si, group in by_scorer.items():
                 scorer = self.scorers[si]
-                if (hasattr(scorer, "paths_group")
+                if (hasattr(scorer, "paths_group_dispatch")
                         and not getattr(scorer, "hbm_table", False)):
-                    out.update(scorer.paths_group(group))
+                    entries.extend(scorer.paths_group_dispatch(group))
                 else:
                     leftover.extend(group)
         finally:
             for it in items:
                 it.p_idx = remap[id(it)]
-        return out, leftover
+        return entries, leftover
 
 
 class JaxPairScorer:
