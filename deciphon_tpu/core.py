@@ -57,9 +57,21 @@ class Batch:
 class Scan:
     """Scan object (python-core/deciphon_core/scan.py:23).
 
-    `cache=True` keeps engine state across run() calls (the reference's
-    workload cache); here profile tables are always engine-resident, so
-    the flag only controls whether products accumulate per-run directory.
+    A Scan may be run() repeatedly over fresh batches (the reference's
+    reuse flow, c-core/test_scan.c:50-78); each run writes its own
+    product set into the snap dir, truncating any previous products.tsv
+    exactly like the reference's "wb" open (c-core/product.c:46).
+
+    `cache=True` keeps engine state (device-resident profile tables,
+    decoder memos) alive between run() calls; `cache=False` releases it
+    after each run and rebuilds on the next — the reference's workload
+    cache trade (c-core/workload.c:21-64: cached works stay in memory vs
+    re-reading proteins per work), with device HBM as the resource here.
+
+    `num_threads` drives the host ("native") engine's thread fan-out;
+    device engines run one jitted program per wave, so the flag has no
+    effect there (the batch dim plays the role of the reference's
+    OpenMP threads, c-core/scan.c:137-160).
     """
 
     def __init__(self, dbfile: DBFile, port: int = 0, num_threads: int = 1,
@@ -67,7 +79,7 @@ class Scan:
                  cache: bool = False, engine: str | None = None):
         from .io.dcp import read_dcp_profiles
 
-        del num_threads, cache  # signature compatibility
+        self._cache = cache
         try:
             _, profiles = read_dcp_profiles(str(dbfile.path))
         except Exception as exc:
@@ -88,7 +100,7 @@ class Scan:
         self._scanner = Scanner(
             profiles,
             ScanConfig(multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
-                       engine=engine),
+                       engine=engine, num_threads=num_threads),
             confirmer=confirmer)
         self.interrupted = False
 
@@ -103,6 +115,11 @@ class Scan:
             pass  # reference semantics: interrupted run returns quietly
         except Exception as exc:
             raise DeciphonError(str(exc)) from exc
+        finally:
+            if not self._cache:
+                # uncached mode: free engine state between runs
+                # (workload.c:21-64 cache=false analog)
+                self._scanner.release()
 
     def interrupt(self) -> None:
         self.interrupted = True

@@ -55,6 +55,11 @@ W = 8  # windows per group (sublane dim)
 # + MA staging ~= 23 f32 planes = 92 bytes.  Shared by the scan scheduler's
 # group-width budget and bench.py so the two never disagree.
 HBM_STATE_BYTES_PER_LANE = 92
+# Mosaic's scoped-VMEM default (16 MB) is far below v5e's physical VMEM
+# (128 MB): raise the per-kernel limit so big-Kp tables double-buffer and
+# wide window groups fit.  64 MB leaves headroom for XLA's own buffers in
+# the surrounding fused program.
+VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 KAPPA = 32  # positions per l-block (codes SMEM block)
 KAPPA_PENDING = 40  # pending mode: must be a multiple of 5 (phase unroll)
 PREFETCH = False  # double-buffer emission gathers (measured slower on v5e)
@@ -669,6 +674,8 @@ def _scores_grid_jit(tables, tvecs, xts, lengths, codes, *, kappa,
         ],
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(codes, tables, tvecs, xts, lengths)
     return alt[..., 0], nul[..., 0]
 
@@ -736,6 +743,8 @@ def _scores_pairs_core(pidx, tables, tvecs, xts, lengths, codes, *,
     alt, nul = pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(pidx, codes, tables, tvecs, xts, lengths)
     return alt[:, 0, :, 0], nul[:, 0, :, 0]
 
@@ -918,6 +927,8 @@ def _scores_pairs_chain_core(pidx, tables, tvecs, xts, lengths, resets,
     alt, nul = pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(pidx, codes, tables, tvecs, xts, lengths, resets)
     return alt[..., 0], nul[..., 0]
 
@@ -1156,6 +1167,8 @@ def _scores_pairs_hbm_core(pidx, tables, tvecs, xts, lengths, codes, *,
             # Plain interpret=True cannot simulate the DMA primitives;
             # TPU-interpret mode models semaphores and async copies.
             interpret=pltpu.InterpretParams() if interpret else False,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT_BYTES),
         )(l0, E, tvec, xt_p, len_p, big, small)
 
     def pair_body(carry, inp):
@@ -1535,6 +1548,8 @@ def _paths_pairs_core(pidx, tables, tvecs, xts, lengths, codes, *,
     xn, nd = pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(pidx, codes, tables, tvecs, xts, lengths)
     Lk = NLB * kappa
     # (NPAIR, Lk, W[, Kp]) -> per-window-major (NPAIR, W, Lk[, Kp])
@@ -1873,6 +1888,8 @@ def _scores_pairs_packed_core(pidx, tables, tvecs, xts, lengths, codes, *,
     alt, nul = pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(pidx, codes, tables, tvecs, xts, lengths)
     return alt[:, 0], nul[:, 0]
 

@@ -69,6 +69,11 @@ class ScanConfig:
     # "pallas" | "pallas-interpret" | "pallas-multi" |
     # "pallas-multi-interpret" | "jax" | "native"
     engine: str = "pallas"
+    # Thread count for the host ("native") engine only; 0 = all cores.
+    # Device engines run one jitted program — the flag is meaningless
+    # there (the reference's NUM_THREADS OpenMP fan-out,
+    # c-core/scan.c:137-160, maps to the kernel's batch dim instead).
+    num_threads: int = 0
     # Window-chain speculation depth cap: windows generated ahead of the
     # last-hit feedback per (profile, sequence) cursor.  Depth starts at
     # the cursor's expected window count, drops to 1 after a hit rewind,
@@ -97,17 +102,29 @@ class Scanner:
             build_costs(p, self.config.multi_hits, self.config.hmmer3_compat)
             for p in profiles
         ]
+        self._scorer_spec = scorer
+        self.scorer = self._make_scorer()
+        self._decoders: dict[int, Decoder] = {}
+        self.progress_done = 0
+        self.progress_total = 0
+        self.metrics = None  # set per run()
+        self._checkpoint = False
+        self._dev_codes = None  # set per run()
+
+    def _make_scorer(self):
+        scorer = self._scorer_spec
         if scorer is not None:
-            self.scorer = scorer(self.costs) if callable(scorer) else scorer
-        elif self.config.engine == "jax":
-            self.scorer = JaxPairScorer(self.costs)
-        elif self.config.engine == "native":
+            return scorer(self.costs) if callable(scorer) else scorer
+        if self.config.engine == "jax":
+            return JaxPairScorer(self.costs)
+        if self.config.engine == "native":
             # Multithreaded striped-SIMD CPU engine (native/): the host
             # fallback and the measured reads/s baseline (BASELINE.md).
             from ..native import NativePairScorer
 
-            self.scorer = NativePairScorer(self.costs)
-        elif self.config.engine.startswith("pallas-multi"):
+            return NativePairScorer(
+                self.costs, nthreads=self.config.num_threads or None)
+        if self.config.engine.startswith("pallas-multi"):
             # Device-parallel production path: the SAME BucketedPairScorer
             # machinery (device codes, wave pipelining, per-rung widths,
             # path kernel), with phase-1 waves shard_map'd over all local
@@ -116,21 +133,24 @@ class Scanner:
 
             from .scheduler import BucketedPairScorer
 
-            self.scorer = BucketedPairScorer(
+            return BucketedPairScorer(
                 self.costs, devices=jax.devices(),
                 interpret=self.config.engine.endswith("-interpret"))
-        else:
-            from .scheduler import BucketedPairScorer
+        from .scheduler import BucketedPairScorer
 
-            self.scorer = BucketedPairScorer(
-                self.costs,
-                interpret=(self.config.engine == "pallas-interpret"))
-        self._decoders: dict[int, Decoder] = {}
-        self.progress_done = 0
-        self.progress_total = 0
-        self.metrics = None  # set per run()
-        self._checkpoint = False
-        self._dev_codes = None  # set per run()
+        return BucketedPairScorer(
+            self.costs,
+            interpret=(self.config.engine == "pallas-interpret"))
+
+    def release(self) -> None:
+        """Free engine state held between runs: per-bucket scorers (the
+        device-resident profile tables) and decoder memos.  The next
+        run() rebuilds them.  This is the uncached mode of the
+        reference's workload cache (c-core/workload.c:21-64: cache=false
+        re-reads every protein from disk per work, trading time for
+        memory) — here the trade is device HBM instead of host RAM."""
+        self.scorer = None
+        self._decoders.clear()
 
     # ------------------------------------------------------------------
     class Interrupted(RuntimeError):
@@ -170,6 +190,8 @@ class Scanner:
 
         self.metrics = ScanMetrics()
         log = get_logger("deciphon_tpu.scan")
+        if self.scorer is None:  # released by an uncached prior run
+            self.scorer = self._make_scorer()
         writer = ProductWriter(product_dir)
         self._checkpoint = checkpoint
         done_pairs: set[tuple[int, int]] = set()

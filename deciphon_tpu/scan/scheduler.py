@@ -395,6 +395,15 @@ class PairScorer:
     # compiled-shape space collapses to the {64, 8, 1} chunk dims at ONE
     # pinned (cap, cmax, w) per scorer instead of the NLB rung ladder.
     CHAIN = True
+    # Chain-tier admission cap in l-blocks (~20 knt at kappa=40): longer
+    # windows (long-read windowing at big K) ride the classic rung
+    # buckets instead, so the pinned chain cap stays near the typical
+    # whole-read window size and slots stay NARROW — many slots per
+    # profile fill the wide w groups the kernel wants (the w>=32 rate is
+    # ~2.5x the w=8 rate at every Kp, measured round 5 under the raised
+    # VMEM limit).  One 100-knt window in the pin would otherwise force
+    # cap=2500 and collapse every profile's chains into <=8 slots.
+    CHAIN_MAX_BLK = 512
     # xtrans LUT capacity (rows are distinct window lengths per scan);
     # fixed so the LUT shape never keys a recompile.  Windows whose
     # length overflows the LUT fall back to the classic bucket path.
@@ -538,9 +547,17 @@ class PairScorer:
         if self._chain_pin is None:
             # pin (cap, cmax, w) for the scan from the first wave: LPT
             # into w slots unbounded, then cap = the max slot load seen
-            # (>= the longest single window, so same-length waves always
-            # repack into the same shape)
-            maxblk = max(blk(it) for it in items)
+            # (>= the longest single chainable window, so same-length
+            # waves always repack into the same shape).  Over-cap
+            # windows are excluded — they ride the classic fallback.
+            chainable = [it for it in items
+                         if blk(it) <= self.CHAIN_MAX_BLK]
+            if not chainable:
+                return self._dispatch_classic(items)
+            pre = {}
+            for it in chainable:
+                pre.setdefault(it.p_idx, []).append(it)
+            maxblk = max(blk(it) for it in chainable)
             bmax = max(sum(blk(it) for it in g) for g in pre.values())
             nslots = -(-bmax // max(maxblk, 1))
             w_c = max(8, min(self.w, next_pow2(max(nslots, 1))))
@@ -584,7 +601,18 @@ class PairScorer:
         results: dict[int, tuple[float, float]] = {}
         inflight_bytes = 0
         i0 = 0
-        for size in chunk_sizes(len(pairs)):
+        # byte-aware chunking: the device-side code gather materializes
+        # (N, cap, kappa, 5, w) int32 per chunk — at wide w a 64-group
+        # chunk can reach GBs, so drop to 8-group chunks when the big
+        # chunk would exceed the budget (shape set stays {64, 8, 1})
+        per_group = cap * kappa * 5 * w_c * 4
+        sizes = chunk_sizes(len(pairs))
+        if NCHUNK * per_group > self.INFLIGHT_BYTES // 2:
+            sizes = [s for size in sizes
+                     for s in ([8] * (size // 8) + ([size % 8] if size % 8
+                                                    else [])
+                               if size == NCHUNK else [size])]
+        for size in sizes:
             chunk = pairs[i0:i0 + size]
             i0 += size
             t0 = time.perf_counter()
@@ -1043,9 +1071,12 @@ class BucketedPairScorer:
     MAX_PALLAS_KP = 2048
     # The kernel is latency-bound per DP step, so throughput scales with
     # the window-group width w until VMEM runs out: cap w * Kp (the size
-    # of each (w, Kp) state plane) at this budget, measured stable on
-    # TPU v5e with the double-buffered table.
-    W_LANE_BUDGET = 128 * 512
+    # of each (w, Kp) state plane) at this budget.  Round 5 raised the
+    # Mosaic scoped-VMEM limit to 64 MB (viterbi_pallas.VMEM_LIMIT_BYTES
+    # — v5e has 128 MB physical VMEM, the old 16 MB default was the real
+    # "w=8 slot floor"), measured on v5e: Kp=2048 w=128 -> 120 GCUPS
+    # (2.6x the w=8 rate), Kp=1024 w=256 -> 111, Kp=512 w=256 -> 88.
+    W_LANE_BUDGET = 128 * 2048
     # HBM-table mode: VMEM holds only the DP state + staged emission
     # blocks, HBM_STATE_BYTES_PER_LANE * w * Kp bytes (the constant is
     # defined next to the kernel and shared with bench.py); budget ~10.5 MB.
@@ -1059,10 +1090,12 @@ class BucketedPairScorer:
 
     @staticmethod
     def w_cap(kp: int) -> int:
-        """Max slot width per plane: minimum-lane buckets amortize the
-        kernel's per-position fixed costs over slots instead (w=256
-        measured +20% at K=50 on v5e; w=512 fails to compile)."""
-        return 256 if kp <= 128 else 128
+        """Max slot width per plane: smaller-lane buckets amortize the
+        kernel's per-position fixed costs over more slots (w=256
+        measured best at Kp<=1024 on v5e under the 64 MB VMEM limit;
+        Kp=2048 keeps w=128 — w=256 state planes would crowd the
+        double-buffered 11 MB table)."""
+        return 256 if kp <= 1024 else 128
 
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
                  kappa: int | None = None,
