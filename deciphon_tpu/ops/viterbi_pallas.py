@@ -366,8 +366,12 @@ def _kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     null_ref[0, 0] = Rfin[...]
 
 
+CW = 8  # carry slots per pair (chain segment continuation, see below)
+
+
 def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
-                    *refs, kappa, Kp, nlb_dim, w=W, chain=False):
+                    *refs, kappa, Kp, nlb_dim, w=W, chain=False,
+                    carry=False):
     """Push/pending-accumulator formulation of the frame Viterbi.
 
     The pull form (_kernel) reads 5 ring slots per step and redoes the
@@ -418,8 +422,30 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     compacts them by each window's final block.  Because window starts
     are block-aligned and kappa % 5 == 0, every position's slot
     arithmetic and f32 op order are identical to a window scored from
-    l=0 in the unchained kernel, so chained scores are BIT-EXACT."""
-    if chain:
+    l=0 in the unchained kernel, so chained scores are BIT-EXACT.
+
+    Carry mode (carry=True, implies chain): a window LONGER than the
+    pinned chain cap is split into cap-block segments that run in
+    CONSECUTIVE kernel calls (same device stream, no host sync), each
+    occupying one full slot of the grid; the DP state crosses calls
+    through explicit carry planes.  Slots w < CW flagged in cont_ref
+    LOAD their state from carry_big/small_in at block 0 (instead of the
+    reseed); at the last grid block every slot w < CW writes its live
+    state to carry_big/small_out (the caller routes exported slots to
+    the next call's carry_in by a device-side permutation).  Segment
+    boundaries are block-aligned and kappa % 5 == 0, so the mod-5 ring
+    phases line up across calls and segmented scores stay BIT-EXACT vs
+    the same window scored whole.  Carry layout matches the scratch:
+    big (13, CW, Kp) = PM[0:5] | PI[5:10] | ST[10:13]; small
+    (32, CW, 1) = PSM.reshape(20)[0:20] | SS[20:27].  Fragments pushed
+    near a segment's end read codes PAST its last position — correct by
+    construction, because the code gather is START-indexed against the
+    scan-global sequence table (the fragment content belongs to the
+    next segment's positions of the same sequence)."""
+    if carry:
+        (reset_ref, cont_ref, cbig_in, csml_in, alt_ref, null_ref,
+         cbig_out, csml_out, MA, PM, PI, PSM, ST, SS, Tfin, Rfin) = refs
+    elif chain:
         (reset_ref, alt_ref, null_ref,
          MA, PM, PI, PSM, ST, SS, Tfin, Rfin) = refs
     else:
@@ -483,6 +509,23 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
             SS[...] = jnp.where(rs[None], seeds, SS[...])
             Tfin[...] = jnp.where(rs, INF, Tfin[...])
             Rfin[...] = jnp.where(rs, INF, Rfin[...])
+
+    if carry:
+        @pl.when((nlb == 0) & (jnp.max(cont_ref[0, :CW]) > 0))
+        def _load_carry():
+            # continuation segments resume mid-window: overwrite the
+            # +inf-initialized state of flagged slots from the previous
+            # segment's exported planes (slots >= CW never continue)
+            cm = cont_ref[0, :CW] > 0  # (CW, 1)
+            big = cbig_in[0]  # (13, CW, Kp)
+            PM[:, :CW] = jnp.where(cm[None], big[0:5], PM[:, :CW])
+            PI[:, :CW] = jnp.where(cm[None], big[5:10], PI[:, :CW])
+            ST[:, :CW] = jnp.where(cm[None], big[10:13], ST[:, :CW])
+            sml = csml_in[0]  # (32, CW, 1)
+            PSM[:, :, :CW] = jnp.where(
+                cm[None, None], sml[0:20].reshape(4, 5, CW, 1),
+                PSM[:, :, :CW])
+            SS[:, :CW] = jnp.where(cm[None], sml[20:27], SS[:, :CW])
 
     def phase(i, r, sm, si, sd, ss):
         """One DP position l = nlb*kappa + 5*i + r + 1 (slot arithmetic
@@ -577,6 +620,18 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
 
     alt_ref[0, 0] = Tfin[...]
     null_ref[0, 0] = Rfin[...]
+
+    if carry:
+        @pl.when(nlb == pl.num_programs(nlb_dim) - 1)
+        def _export():
+            # non-final segments span the FULL grid, so their state is
+            # live here; the caller reads only flagged slots' planes
+            cbig_out[0, 0:5] = PM[:, :CW]
+            cbig_out[0, 5:10] = PI[:, :CW]
+            cbig_out[0, 10:13] = ST[:, :CW]
+            csml_out[0, 0:20] = PSM[:, :, :CW].reshape(20, CW, 1)
+            csml_out[0, 20:27] = SS[:, :CW]
+            csml_out[0, 27:32] = jnp.zeros((5, CW, 1))
 
 
 def start_codes(c_end: np.ndarray) -> np.ndarray:
@@ -792,6 +847,18 @@ def _gather_scores_pairs_jit(pidx, tables, tvecs, xts, lengths, starts,
 
 
 @functools.partial(jax.jit, static_argnames=("kappa", "nlb", "interpret"))
+def _gather_scores_pairs_hbm_mixed_jit(pidx, tables, tvecs, xts, lengths,
+                                       starts, codes_all, *, kappa, nlb,
+                                       interpret):
+    """Mixed-profile HBM scoring from device-resident codes: pidx is
+    (N, W) — one profile PER SLOT (see _scores_pairs_hbm_core mixed)."""
+    ck = _ck_from_starts(codes_all, starts, nlb, kappa)
+    return _scores_pairs_hbm_core(pidx, tables, tvecs, xts, lengths, ck,
+                                  kappa=kappa, interpret=interpret,
+                                  mixed=True)
+
+
+@functools.partial(jax.jit, static_argnames=("kappa", "nlb", "interpret"))
 def _gather_scores_pairs_hbm_jit(pidx, tables, tvecs, xts, lengths, starts,
                                  codes_all, *, kappa, nlb, interpret):
     ck = _ck_from_starts(codes_all, starts, nlb, kappa)
@@ -933,16 +1000,109 @@ def _scores_pairs_chain_core(pidx, tables, tvecs, xts, lengths, resets,
     return alt[..., 0], nul[..., 0]
 
 
-@functools.partial(jax.jit, static_argnames=("kappa", "nlb", "interpret"))
-def _chained_scores_jit(pidx, tables, tvecs, win_sblk, win_len, win_gstart,
-                        win_xti, xt_lut, codes_all, *, kappa, nlb,
-                        interpret):
-    """Expand compact per-window chain metadata and score.
+def _scores_pairs_chain_carry_core(pidx, tables, tvecs, xts, lengths,
+                                   resets, conts, cbig_in, csml_in, codes,
+                                   *, kappa, interpret):
+    """Chained pairs kernel call WITH cross-call DP carry (segmented
+    windows; see _kernel_pending's carry-mode docstring).
+
+    Extra args vs _scores_pairs_chain_core: conts (N, W, 1) i32 slots
+    resuming from carry; cbig_in (N, 13, CW, Kp) f32; csml_in
+    (N, 32, CW, 1) f32.  Returns (alt, nul, cbig_out, csml_out)."""
+    _, _, Kp = tables.shape
+    NPAIR, NLB = codes.shape[0], codes.shape[1]
+    Wd = codes.shape[4]
+    if kappa % 5:
+        raise ValueError("pending mode requires kappa % 5 == 0")
+    inner = functools.partial(_kernel_pending, kappa=kappa, Kp=Kp,
+                              nlb_dim=1, w=Wd, chain=True, carry=True)
+
+    def kernel(pidx_ref, *rest):
+        inner(*rest)
+
+    def per_pair(shape):
+        return pl.BlockSpec(shape, lambda pair, nlb, pidx:
+                            (pair,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    def per_block(shape):
+        return pl.BlockSpec(shape, lambda pair, nlb, pidx:
+                            (pair, nlb) + (0,) * (len(shape) - 2),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NPAIR, NLB),
+        in_specs=[
+            pl.BlockSpec((1, 1, kappa, 5, Wd),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TABLE_SIZE, Kp),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Kp),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            per_block((1, 1, Wd, 16)),  # xts
+            per_block((1, 1, Wd, 1)),  # lengths
+            per_block((1, 1, Wd, 1)),  # resets
+            per_pair((1, Wd, 1)),  # conts
+            per_pair((1, 13, CW, Kp)),  # carry big in
+            per_pair((1, 32, CW, 1)),  # carry small in
+        ],
+        out_specs=[
+            per_block((1, 1, Wd, 1)),
+            per_block((1, 1, Wd, 1)),
+            per_pair((1, 13, CW, Kp)),
+            per_pair((1, 32, CW, 1)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, Wd, Kp), jnp.float32),  # MA gather staging
+            pltpu.VMEM((5, Wd, Kp), jnp.float32),  # PM pending M
+            pltpu.VMEM((5, Wd, Kp), jnp.float32),  # PI pending I
+            pltpu.VMEM((4, 5, Wd, 1), jnp.float32),  # PSM pending N J C R
+            pltpu.VMEM((3, Wd, Kp), jnp.float32),  # ST prev M/I/D
+            pltpu.VMEM((7, Wd, 1), jnp.float32),  # SS prev specials
+            pltpu.VMEM((Wd, 1), jnp.float32),  # T final
+            pltpu.VMEM((Wd, 1), jnp.float32),  # R final
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((NPAIR, NLB, Wd, 1), jnp.float32),
+        jax.ShapeDtypeStruct((NPAIR, NLB, Wd, 1), jnp.float32),
+        jax.ShapeDtypeStruct((NPAIR, 13, CW, Kp), jnp.float32),
+        jax.ShapeDtypeStruct((NPAIR, 32, CW, 1), jnp.float32),
+    ]
+    alt, nul, cbig, csml = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(pidx, codes, tables, tvecs, xts, lengths, resets, conts,
+      cbig_in, csml_in)
+    return alt[..., 0], nul[..., 0], cbig, csml
+
+
+def _chain_expand(win_sblk, win_len, win_gstart, win_xti, xt_lut,
+                  codes_all, *, kappa, nlb, maxblk):
+    """Expand compact per-window chain metadata to per-block kernel
+    inputs.
 
     win_sblk/win_len/win_gstart/win_xti: (N, W, C) int32 — chain window
     c of slot w: starting l-block within the chain, nt length (0 = pad),
     global code-row offset (DeviceSeqCodes), and xtrans LUT row.
-    xt_lut (LUT_CAP, 16) f32.  Returns (alt, nul): (N, W, C) f32.
+    xt_lut (LUT_CAP, 16) f32; maxblk = longest chainable window in
+    blocks (static, pinned per scan).
+
+    Code gather, per-WINDOW big slices (round-5 reformulation): the
+    per-(pair, block, slot) (kappa, 5)-slice gather ran at 2.2 GB/s —
+    descriptor-bound (800 B slices) — and dominated the chained wave.
+    Each window is one contiguous source run, so gather (maxblk*kappa,
+    5) BLOCK slices at the window starts (the 32 GB/s formulation),
+    then route blocks to their owning window with one take_along_axis.
+    Overfetch is C*maxblk/nlb, bounded by the scheduler's cmax pin.
+    Junk rows (beyond a window's true length, CLIPped tails) are valid
+    code rows by construction and never reach a latched output.
     """
     N, Wd, C = win_sblk.shape
     b = jnp.arange(nlb, dtype=jnp.int32)  # (NLB,)
@@ -960,28 +1120,25 @@ def _chained_scores_jit(pidx, tables, tvecs, win_sblk, win_len, win_gstart,
     end_chain = win_sblk * kappa + win_len  # chain-coord end positions
     lens_blk = jnp.where(anyc, sel(end_chain), 0)
     reset_blk = (anyc & (b[None, None] == sel(win_sblk))).astype(jnp.int32)
-    pad_start = codes_all.shape[0] - 1
-    starts_blk = jnp.where(anyc, sel(win_gstart) + (b - sel(win_sblk))
-                           * kappa, pad_start)
     xts_blk = jnp.take(xt_lut, jnp.where(anyc, sel(win_xti), 0), axis=0)
 
     # kernel layouts: (N, NLB, W, ...)
     xts_k = xts_blk.transpose(0, 2, 1, 3)
     lens_k = lens_blk.transpose(0, 2, 1)[..., None]
     rs_k = reset_blk.transpose(0, 2, 1)[..., None]
-    # per-(pair, block, slot) code gather: each block is one contiguous
-    # (kappa, 5) slice of the scan-resident code array (block-slice
-    # lax.gather — the measured-fast formulation, see _ck_from_starts)
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
-    st = starts_blk.transpose(0, 2, 1).reshape(-1, 1)
-    ck = jax.lax.gather(codes_all, st, dn, slice_sizes=(kappa, 5),
+    sl = jax.lax.gather(codes_all, win_gstart.reshape(-1, 1), dn,
+                        slice_sizes=(maxblk * kappa, 5),
                         mode=jax.lax.GatherScatterMode.CLIP)
-    ck = ck.reshape(N, nlb, Wd, kappa, 5).transpose(0, 1, 3, 4, 2)
+    sl = sl.reshape(N, Wd, C * maxblk, kappa, 5)
+    idx = jnp.where(anyc, cidx * maxblk + (b - sel(win_sblk)), 0)
+    ck = jnp.take_along_axis(sl, idx[..., None, None], axis=2)
+    ck = ck.transpose(0, 2, 3, 4, 1)  # (N, NLB, kappa, 5, W)
+    return xts_k, lens_k, rs_k, ck, end_blk
 
-    alt, nul = _scores_pairs_chain_core(
-        pidx, tables, tvecs, xts_k, lens_k, rs_k, ck,
-        kappa=kappa, interpret=interpret)
+
+def _chain_compact(alt, nul, end_blk, nlb):
     # compact: each window's cost was latched by the end of its final
     # block and persists in later same-window blocks' output rows
     eb = jnp.clip(end_blk - 1, 0, nlb - 1)  # (N, W, C)
@@ -990,9 +1147,76 @@ def _chained_scores_jit(pidx, tables, tvecs, win_sblk, win_len, win_gstart,
     return alt_w, nul_w
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("kappa", "nlb", "maxblk", "interpret"))
+def _chained_scores_jit(pidx, tables, tvecs, win_sblk, win_len, win_gstart,
+                        win_xti, xt_lut, codes_all, *, kappa, nlb, maxblk,
+                        interpret):
+    """Expand compact per-window chain metadata and score.
+
+    See _chain_expand for the metadata contract.  Returns (alt, nul):
+    (N, W, C) f32.
+    """
+    xts_k, lens_k, rs_k, ck, end_blk = _chain_expand(
+        win_sblk, win_len, win_gstart, win_xti, xt_lut, codes_all,
+        kappa=kappa, nlb=nlb, maxblk=maxblk)
+    alt, nul = _scores_pairs_chain_core(
+        pidx, tables, tvecs, xts_k, lens_k, rs_k, ck,
+        kappa=kappa, interpret=interpret)
+    return _chain_compact(alt, nul, end_blk, nlb)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kappa", "nlb", "maxblk", "interpret"))
+def _chained_scores_carry_jit(pidx, tables, tvecs, win_sblk, win_len,
+                              win_gstart, win_xti, conts, cbig_in, csml_in,
+                              xt_lut, codes_all, *, kappa, nlb, maxblk,
+                              interpret):
+    """Chained scoring with cross-call DP carry (segmented windows).
+
+    conts: (N, W) int32 — slots resuming a window mid-DP (their chain
+    entry 0 is the continuation segment; its block-0 reseed is
+    suppressed and the state loads from cbig_in/csml_in instead).
+    Returns (alt, nul, cbig_out, csml_out); every slot < CW exports its
+    end-of-grid state (the scheduler routes only flagged ones onward).
+    """
+    xts_k, lens_k, rs_k, ck, end_blk = _chain_expand(
+        win_sblk, win_len, win_gstart, win_xti, xt_lut, codes_all,
+        kappa=kappa, nlb=nlb, maxblk=maxblk)
+    # suppress the block-0 reseed of continuation slots
+    rs_k = rs_k * (1 - conts[:, None, :, None])
+    alt, nul, cbig, csml = _scores_pairs_chain_carry_core(
+        pidx, tables, tvecs, xts_k, lens_k, rs_k,
+        conts[..., None], cbig_in, csml_in, ck,
+        kappa=kappa, interpret=interpret)
+    alt_w, nul_w = _chain_compact(alt, nul, end_blk, nlb)
+    return alt_w, nul_w, cbig, csml
+
+
+@functools.lru_cache(maxsize=None)
+def _carry_permute_jit(n_src: int, n_dst: int):
+    """Device-side carry routing between consecutive segment chunks:
+    flat (pair*CW) gather from the previous call's carry_out into the
+    next call's carry_in layout."""
+    @jax.jit
+    def go(cbig, csml, idx):
+        # cbig (Ns, 13, CW, Kp) -> flat (Ns*CW, 13, Kp) -> take -> back
+        Ns = cbig.shape[0]
+        big = cbig.transpose(0, 2, 1, 3).reshape(Ns * CW, 13, -1)
+        sml = csml.transpose(0, 2, 1, 3).reshape(Ns * CW, 32, 1)
+        big = jnp.take(big, idx, axis=0)
+        sml = jnp.take(sml, idx, axis=0)
+        Nd = n_dst
+        big = big.reshape(Nd, CW, 13, -1).transpose(0, 2, 1, 3)
+        sml = sml.reshape(Nd, CW, 32, 1).transpose(0, 2, 1, 3)
+        return big, sml
+    return go
+
+
 def viterbi_scores_pairs_chained(pidx, tables, tvecs, win_sblk, win_len,
                                  win_gstart, win_xti, xt_lut, codes_all, *,
-                                 nlb, kappa=None, interpret=False):
+                                 nlb, maxblk=None, kappa=None,
+                                 interpret=False):
     """Score NPAIR (profile, slot-chain-group) pairs, W slots of up to C
     chained windows each.  See _chained_scores_jit for the argument
     contract; scores are bit-exact vs viterbi_scores_pairs on the same
@@ -1001,7 +1225,25 @@ def viterbi_scores_pairs_chained(pidx, tables, tvecs, win_sblk, win_len,
     assert mode == "pending"
     return _chained_scores_jit(pidx, tables, tvecs, win_sblk, win_len,
                                win_gstart, win_xti, xt_lut, codes_all,
-                               kappa=kappa, nlb=nlb, interpret=interpret)
+                               kappa=kappa, nlb=nlb,
+                               maxblk=nlb if maxblk is None else maxblk,
+                               interpret=interpret)
+
+
+def viterbi_scores_pairs_chained_carry(pidx, tables, tvecs, win_sblk,
+                                       win_len, win_gstart, win_xti, conts,
+                                       cbig_in, csml_in, xt_lut, codes_all,
+                                       *, nlb, kappa=None, interpret=False):
+    """Chained scoring with DP carry for segmented over-cap windows; see
+    _chained_scores_carry_jit.  maxblk is pinned to nlb (continuation
+    segments span the full grid, so their gather slices must cover cap
+    blocks)."""
+    kappa, mode, _ = _resolve(kappa, "pending", None)
+    assert mode == "pending"
+    return _chained_scores_carry_jit(
+        pidx, tables, tvecs, win_sblk, win_len, win_gstart, win_xti,
+        conts, cbig_in, csml_in, xt_lut, codes_all,
+        kappa=kappa, nlb=nlb, maxblk=nlb, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -1125,12 +1367,23 @@ def _kernel_block_large(l0_ref, e_ref, tvec_ref, xt_ref, len_ref,
 
 
 def _scores_pairs_hbm_core(pidx, tables, tvecs, xts, lengths, codes, *,
-                           kappa, interpret):
+                           kappa, interpret, mixed=False):
+    """mixed=True: pidx is (NPAIR, W) — every sublane SLOT may carry a
+    different profile of the stacked tables.  The emission gather indexes
+    the flattened (P*1364, Kp) table stack at pidx*1364 + code and the
+    transition vectors become per-slot (8, W, Kp) planes; the block
+    kernel body is untouched (its tvec reads broadcast over either
+    rank).  This lifts the one-profile-per-pair restriction for the
+    HBM-table tier, so rare long windows from DIFFERENT profiles share
+    one wide window group instead of spraying singleton narrow calls
+    (the round-4 'w=8 slot floor' for long reads at big K)."""
     _, _, Kp = tables.shape
     NPAIR, NLB = codes.shape[0], codes.shape[1]
     W = codes.shape[4]
 
     kernel = functools.partial(_kernel_block_large, kappa=kappa, Kp=Kp, w=W)
+    tvec_shape = (8, W, Kp) if mixed else (8, Kp)
+    tables_flat = tables.reshape(-1, Kp) if mixed else None
 
     def block_call(E, tvec, xt_p, len_p, l0, big, small):
         return pl.pallas_call(
@@ -1140,7 +1393,9 @@ def _scores_pairs_hbm_core(pidx, tables, tvecs, xts, lengths, codes, *,
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # l0 (1,)
                 pl.BlockSpec((1, 5, W, Kp), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, Kp), lambda i: (0, 0),
+                pl.BlockSpec(tvec_shape,
+                             (lambda i: (0, 0, 0)) if mixed
+                             else (lambda i: (0, 0)),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((W, 16), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -1173,9 +1428,16 @@ def _scores_pairs_hbm_core(pidx, tables, tvecs, xts, lengths, codes, *,
 
     def pair_body(carry, inp):
         pidx_p, xt_p, len_p, codes_p = inp  # codes_p (NLB, kappa, 5, W)
-        table = jax.lax.dynamic_index_in_dim(tables, pidx_p, 0,
-                                             keepdims=False)
-        tvec = jax.lax.dynamic_index_in_dim(tvecs, pidx_p, 0, keepdims=False)
+        if mixed:
+            table = None  # per-slot gather against tables_flat below
+            tvec = jnp.take(tvecs, pidx_p, axis=0,
+                            mode="clip").transpose(1, 0, 2)  # (8, W, Kp)
+            offs = (pidx_p * TABLE_SIZE).astype(jnp.int32)  # (W,)
+        else:
+            table = jax.lax.dynamic_index_in_dim(tables, pidx_p, 0,
+                                                 keepdims=False)
+            tvec = jax.lax.dynamic_index_in_dim(tvecs, pidx_p, 0,
+                                                keepdims=False)
         big0 = jnp.full((13, W, Kp), INF, jnp.float32)
         small0 = jnp.concatenate([
             jnp.full((20, W, 1), INF, jnp.float32),  # pending N J C R
@@ -1189,8 +1451,13 @@ def _scores_pairs_hbm_core(pidx, tables, tvecs, xts, lengths, codes, *,
         def blk(state, xs):
             big, small = state
             nlb, codes_blk = xs
-            E = jnp.take(table, codes_blk.reshape(-1), axis=0,
-                         mode="clip").reshape(kappa, 5, W, Kp)
+            if mixed:
+                rows = codes_blk + offs[None, None, :]  # (kappa, 5, W)
+                E = jnp.take(tables_flat, rows.reshape(-1), axis=0,
+                             mode="clip").reshape(kappa, 5, W, Kp)
+            else:
+                E = jnp.take(table, codes_blk.reshape(-1), axis=0,
+                             mode="clip").reshape(kappa, 5, W, Kp)
             l0 = jnp.reshape(nlb * kappa, (1,)).astype(jnp.int32)
             big, small = block_call(E, tvec, xt_p, len_p, l0, big, small)
             return (big, small), None

@@ -68,7 +68,7 @@ def _scores_from_starts_shmap(mesh: Mesh, kappa: int, nlb: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _scores_chained_shmap(mesh: Mesh, kappa: int, nlb: int,
+def _scores_chained_shmap(mesh: Mesh, kappa: int, nlb: int, maxblk: int,
                           interpret: bool):
     """Mesh-jitted chained phase-1 wave (multi-window slots): pair dim
     sharded, tables/LUT/codes replicated — the chain tier composes with
@@ -79,7 +79,7 @@ def _scores_chained_shmap(mesh: Mesh, kappa: int, nlb: int,
     def fn(pidx, tables, tvecs, sblk, wlen, gst, xti, lut, codes_all):
         return vp.viterbi_scores_pairs_chained(
             pidx, tables, tvecs, sblk, wlen, gst, xti, lut, codes_all,
-            nlb=nlb, kappa=kappa, interpret=interpret)
+            nlb=nlb, maxblk=maxblk, kappa=kappa, interpret=interpret)
 
     sh, rep = P(MESH_AXIS), P()
     return jax.jit(jax.shard_map(
@@ -164,7 +164,8 @@ class MultiDevicePairScorer(PairScorer):
                   jax.device_put(xts, sh), jax.device_put(lens, sh),
                   jax.device_put(starts, sh), self.dev_codes.dev)
 
-    def _invoke_scores_chained(self, pidx, sblk, wlen, gst, xti, nlb):
+    def _invoke_scores_chained(self, pidx, sblk, wlen, gst, xti, nlb,
+                               maxblk):
         n = pidx.shape[0]
         npad = -(-n // self.ndev) * self.ndev - n
         if npad:
@@ -180,7 +181,7 @@ class MultiDevicePairScorer(PairScorer):
         if getattr(self._xt_lut_dev, "sharding", None) != rep:
             self._xt_lut_dev = jax.device_put(self._xt_lut_dev, rep)
         fn = _scores_chained_shmap(self.mesh, self.kappa, int(nlb),
-                                   self.interpret)
+                                   int(maxblk), self.interpret)
         return fn(jax.device_put(pidx, sh), self.tables, self.tvecs,
                   jax.device_put(sblk, sh), jax.device_put(wlen, sh),
                   jax.device_put(gst, sh), jax.device_put(xti, sh),

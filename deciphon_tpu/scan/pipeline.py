@@ -281,14 +281,27 @@ class Scanner:
         can_pipeline = hasattr(self.scorer, "dispatch_all")
 
         def assemble() -> list[PairItem]:
+            # Round-robin across (profile, sequence) chains: serial
+            # (p, s)-ordered filling starved late profiles' scorers in
+            # early waves (their first dispatch then pinned degenerate
+            # chain shapes) and left buckets idle while others drained.
+            # Interleaving keeps every bucket's scorer fed a
+            # representative mix each wave; product order is restored at
+            # write time, so wave composition never affects output.
             wave: list[PairItem] = []
-            for key in sorted(chains):
-                for it in chains[key]:
-                    if not it.dispatched:
-                        it.dispatched = True
-                        wave.append(it)
-                        if len(wave) >= cap:
-                            return wave
+            pending = [iter(chains[key]) for key in sorted(chains)]
+            while pending and len(wave) < cap:
+                nxt = []
+                for itr in pending:
+                    for it in itr:
+                        if not it.dispatched:
+                            it.dispatched = True
+                            wave.append(it)
+                            nxt.append(itr)
+                            break
+                    if len(wave) >= cap:
+                        break
+                pending = nxt
             return wave
 
         def process(items, scores) -> None:

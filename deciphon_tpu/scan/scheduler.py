@@ -460,20 +460,15 @@ class PairScorer:
             interpret=self.interpret, hbm=self.hbm_table)
 
     def _w_eff(self, items: list[PairItem]) -> int:
-        # Effective group width: don't pad tiny workloads up to the full
-        # width (a scan of a few windows per profile would waste w-fold
-        # compute).  PINNED on first dispatch for the scan's lifetime —
-        # later waves are smaller (chains drain), and letting the width
-        # shrink with them would compile a fresh program per width while
-        # saving only pad-slot compute on already-small waves.
-        if self._w_pinned is not None:
-            return self._w_pinned
-        per_profile: dict[int, int] = {}
-        for it in items:
-            per_profile[it.p_idx] = per_profile.get(it.p_idx, 0) + 1
-        self._w_pinned = max(8, min(self.w,
-                                    next_pow2(max(per_profile.values()))))
-        return self._w_pinned
+        # Scorer-wide width CAP; the per-(rung, profile) group width
+        # still adapts below it (build_batches wg = pow2 of the group's
+        # real count), so small groups don't pad up to the full width.
+        # The round-4 first-wave PIN was an artifact generator: a scorer
+        # whose profiles appeared late in wave 1 saw few items and got
+        # stuck at w=8/16 for the whole scan (measured: the Kp=512
+        # bucket ran 60-window groups at w=16, 2.5x below its rate).
+        del items
+        return self.w
 
     def dispatch(self, items: list[PairItem]) -> list:
         """Enqueue all kernel calls for one wave without blocking (device
@@ -571,40 +566,113 @@ class PairScorer:
                     cap = max(cap, load)
                     cmax = max(cmax, len(slot))
             cap = max(cap, self.NLB_FLOOR)
-            self._chain_pin = (cap, next_pow2(cmax), w_c)
-        cap, cmax, w_c = self._chain_pin
+            # cmax bounds the chain-gather overfetch (cmax * maxblk
+            # source rows fetched per cap-block slot): clamp it so the
+            # gather never overfetches more than ~4x; deeper chains
+            # split into extra slots at dispatch (wider fill, same work)
+            cmax = min(next_pow2(cmax),
+                       next_pow2(max(1, 4 * cap // max(maxblk, 1))))
+            self._chain_pin = (cap, max(cmax, 1), w_c, maxblk)
+        cap, cmax, w_c, maxblk = self._chain_pin
 
+        CWn = self._vp.CW
+        # Over-cap windows (long-read windowing at big K): the default
+        # GANG tier packs them ACROSS PROFILES into one wide mixed-
+        # profile HBM-gather group (viterbi_pallas mixed mode) — the
+        # round-4 ladder sprayed one narrow singleton call per (profile,
+        # rung) because the VMEM-table kernel binds one profile per
+        # pair.  DECIPHON_CHAIN_SEG=1 instead splits them into
+        # cap-block segments threaded through consecutive chain chunks
+        # with DP carry — profitable only when every chunk's spare
+        # slots can be filled with normal windows (very deep scans).
+        use_seg = os.environ.get("DECIPHON_CHAIN_SEG", "").lower() \
+            in ("1", "true")
+        seg_wins: dict[int, list[PairItem]] = {}
+        gang_items: list[PairItem] = []
         for it in items:
             b = blk(it)
-            if b > cap or self._xt_index(it) is None:
+            if self._xt_index(it) is None:
                 fallback.append(it)
+            elif b > maxblk:
+                if use_seg:
+                    seg_wins.setdefault(it.p_idx, []).append(it)
+                else:
+                    gang_items.append(it)
             else:
                 per.setdefault(it.p_idx, []).append((it, b))
 
+        # bound concurrent segment windows: CW carry slots per pair,
+        # NCHUNK segment pairs per chunk; the rare excess rides classic
+        seg_plan: dict[int, list[PairItem]] = {}
+        for p_idx, wins in seg_wins.items():
+            wins.sort(key=lambda it: (it.s_idx, it.win.idx))
+            seg_plan[p_idx] = wins[:CWn]
+            fallback.extend(wins[CWn:])
+        for p_idx in sorted(seg_plan)[NCHUNK:]:
+            fallback.extend(seg_plan.pop(p_idx))
+
         inflight = list(self._dispatch_classic(fallback)) if fallback \
             else []
-        if not per:
+        if gang_items:
+            inflight.extend(self._dispatch_gang(gang_items))
+        if not per and not seg_plan:
             return inflight
         if self._xt_lut_dev is None:
             self._xt_lut_dev = jnp.asarray(self._xt_lut)
 
-        # pack each profile's windows into slots, slots into w_c-wide
-        # pairs, pairs into {64, 8, 1} chunks
-        pairs: list[tuple[int, list[list[PairItem]]]] = []
+        def nseg(it):
+            return -(-blk(it) // cap)
+
+        # pack each profile's normal windows into a slot queue; segment
+        # chunks draw from it to fill their pairs' spare slots
+        slotq: dict[int, list[list[PairItem]]] = {}
         for p_idx in sorted(per):
             wins = sorted(per[p_idx],
                           key=lambda x: (-x[1], x[0].s_idx, x[0].win.idx))
-            slots = [s for s, _ in self._lpt_pack(wins, w_c, cap, cmax)]
-            for i in range(0, len(slots), w_c):
-                pairs.append((p_idx, slots[i:i + w_c]))
+            slotq[p_idx] = [s for s, _ in
+                            self._lpt_pack(wins, w_c, cap, cmax)]
 
-        results: dict[int, tuple[float, float]] = {}
-        inflight_bytes = 0
-        i0 = 0
-        # byte-aware chunking: the device-side code gather materializes
+        # segment-chunk skeleton: chunk t carries segment t of every
+        # live over-cap window (slot rank < CW), padded out with normal
+        # slots of the same profile
+        T = max((nseg(it) for wins in seg_plan.values() for it in wins),
+                default=0)
+        chunks: list[tuple[list, list, dict | None]] = []
+        prev_pos: dict[int, tuple[int, int]] | None = None
+        for t in range(T):
+            chunk_pairs = []
+            pos: dict[int, tuple[int, int]] = {}
+            conts: list[tuple[int, int, int]] = []  # (gi, wi, srcflat)
+            for p_idx in sorted(seg_plan):
+                alive = [it for it in seg_plan[p_idx] if nseg(it) > t]
+                if not alive:
+                    continue
+                gi = len(chunk_pairs)
+                slots: list = []
+                for rank, it in enumerate(alive):
+                    slots.append(("seg", it, t))
+                    pos[id(it)] = (gi, rank)
+                    if t > 0:
+                        sgi, swi = prev_pos[id(it)]
+                        conts.append((gi, rank, sgi * CWn + swi))
+                q = slotq.get(p_idx, [])
+                while len(slots) < w_c and q:
+                    slots.append(("norm", q.pop(0), None))
+                chunk_pairs.append((p_idx, slots))
+            chunks.append((chunk_pairs, conts, None))
+            prev_pos = pos
+
+        # leftover normal slots -> plain chain chunks ({64, 8, 1} dims,
+        # byte-aware: the device-side code gather materializes
         # (N, cap, kappa, 5, w) int32 per chunk — at wide w a 64-group
-        # chunk can reach GBs, so drop to 8-group chunks when the big
-        # chunk would exceed the budget (shape set stays {64, 8, 1})
+        # chunk can reach GBs, so drop to 8-group chunks then)
+        pairs: list[tuple[int, list]] = []
+        for p_idx in sorted(slotq):
+            slots = slotq[p_idx]
+            for i in range(0, len(slots), w_c):
+                pairs.append((p_idx,
+                              [("norm", s, None)
+                               for s in slots[i:i + w_c]]))
         per_group = cap * kappa * 5 * w_c * 4
         sizes = chunk_sizes(len(pairs))
         if NCHUNK * per_group > self.INFLIGHT_BYTES // 2:
@@ -612,11 +680,18 @@ class PairScorer:
                      for s in ([8] * (size // 8) + ([size % 8] if size % 8
                                                     else [])
                                if size == NCHUNK else [size])]
+        i0 = 0
         for size in sizes:
-            chunk = pairs[i0:i0 + size]
+            chunks.append((pairs[i0:i0 + size], None, None))
             i0 += size
+
+        results: dict[int, tuple[float, float]] = {}
+        inflight_bytes = 0
+        carry_prev = None  # (cbig, csml, N_src_pad) of the prior seg chunk
+        for ci_chunk, (chunk, conts, _) in enumerate(chunks):
+            is_seg = ci_chunk < T
             t0 = time.perf_counter()
-            N = pad_groups(size)
+            N = pad_groups(len(chunk))
             pidx = np.zeros((N,), np.int32)
             sblk = np.zeros((N, w_c, cmax), np.int32)
             wlen = np.zeros((N, w_c, cmax), np.int32)
@@ -626,18 +701,46 @@ class PairScorer:
             groups = []
             for gi, (p_idx, slots) in enumerate(chunk):
                 pidx[gi] = p_idx
-                groups.append(slots)
-                for wi, slot in enumerate(slots):
-                    b = 0
-                    for ci, it in enumerate(slot):
-                        sblk[gi, wi, ci] = b
-                        wlen[gi, wi, ci] = it.win.length
-                        gst[gi, wi, ci] = it.gstart
-                        xti[gi, wi, ci] = self._xt_index(it)
-                        b += blk(it)
+                gslots = []
+                for wi, (kind, payload, t) in enumerate(slots):
+                    if kind == "seg":
+                        it = payload
+                        ns = nseg(it)
+                        sblk[gi, wi, 0] = 0
+                        if t < ns - 1:  # intermediate: spans the grid
+                            wlen[gi, wi, 0] = cap * kappa
+                            gslots.append([])
+                        else:  # final segment: latches the window
+                            wlen[gi, wi, 0] = (it.win.length
+                                               - (ns - 1) * cap * kappa)
+                            gslots.append([it])
+                        gst[gi, wi, 0] = it.gstart + t * cap * kappa
+                        xti[gi, wi, 0] = self._xt_index(it)
+                    else:
+                        slot = payload
+                        b = 0
+                        for ci, it in enumerate(slot):
+                            sblk[gi, wi, ci] = b
+                            wlen[gi, wi, ci] = it.win.length
+                            gst[gi, wi, ci] = it.gstart
+                            xti[gi, wi, ci] = self._xt_index(it)
+                            b += blk(it)
+                        gslots.append(slot)
+                groups.append(gslots)
             t1 = time.perf_counter()
-            alt, nul = self._invoke_scores_chained(
-                pidx, sblk, wlen, gst, xti, cap)
+            if is_seg:
+                conts_arr = np.zeros((N, w_c), np.int32)
+                route = np.zeros((N * CWn,), np.int32)
+                for gi, wi, src in conts:
+                    conts_arr[gi, wi] = 1
+                    route[gi * CWn + wi] = src
+                alt, nul, cbig, csml = self._invoke_scores_chained_carry(
+                    pidx, sblk, wlen, gst, xti, conts_arr, route,
+                    carry_prev, cap)
+                carry_prev = (cbig, csml, N)
+            else:
+                alt, nul = self._invoke_scores_chained(
+                    pidx, sblk, wlen, gst, xti, cap, maxblk)
             t2 = time.perf_counter()
             if m is not None:
                 m.add_wall("pack", t1 - t0)
@@ -646,7 +749,8 @@ class PairScorer:
                     np.asarray(alt).sum()
                     Kp = self.tables.shape[2]
                     m.add_wall(
-                        f"bkt_chain_kp{Kp}_cap{cap}_n{N}_w{w_c}",
+                        f"bkt_chain{'seg' if is_seg else ''}_kp{Kp}"
+                        f"_cap{cap}_n{N}_w{w_c}",
                         time.perf_counter() - t2)
             nbytes = N * cap * kappa * 5 * w_c * 4
             inflight.append((_ChainChunk(groups), alt, nul, nbytes))
@@ -659,7 +763,108 @@ class PairScorer:
             inflight.insert(0, results)
         return inflight
 
-    def _invoke_scores_chained(self, pidx, sblk, wlen, gst, xti, nlb):
+    # Width cap for mixed-profile gang groups: long windows are rare, a
+    # narrow-ish group fills; the HBM-gather rate gains little past w=16
+    # while the per-call state bytes grow linearly.
+    GANG_W = 16
+
+    def _dispatch_gang(self, items: list[PairItem]) -> list:
+        """Mixed-profile HBM-gather groups for over-cap windows."""
+        import jax.numpy as jnp
+
+        m = self.metrics
+        # One length-sorted packing across ALL profiles: over-cap
+        # windows are few, so splitting them by length rung (as the
+        # classic ladder does) would re-fragment exactly the singleton
+        # calls this tier exists to merge.  Longest-first grouping keeps
+        # same-scale windows together; each group runs at its own
+        # quantized rung and shorter slots skip their tail blocks
+        # in-kernel.
+        wins = sorted(items, key=lambda it: (-it.win.length, it.p_idx,
+                                             it.s_idx, it.win.idx))
+        wg = max(8, min(self.GANG_W, next_pow2(len(wins))))
+        groups = [wins[i:i + wg] for i in range(0, len(wins), wg)]
+        entries: list = []
+        per_rung: dict[int, list] = {}
+        for g in groups:
+            nlb = max(self.NLB_FLOOR,
+                      quantize_nlb(max(1, -(-g[0].win.length
+                                            // self.kappa))))
+            per_rung.setdefault(nlb, []).append(g)
+        for nlb in sorted(per_rung):
+            rgroups = per_rung[nlb]
+            i0 = 0
+            for size in chunk_sizes(len(rgroups)):
+                chunk = rgroups[i0:i0 + size]
+                i0 += size
+                t0 = time.perf_counter()
+                N = pad_groups(size)
+                pidx = np.zeros((N, wg), np.int32)
+                xts = np.zeros((N, wg, 16), np.float32)
+                lens = np.zeros((N, wg, 1), np.int32)
+                starts = np.full((N, wg), self.dev_codes.pad_start,
+                                 np.int32)
+                for gi, g in enumerate(chunk):
+                    for wi, it in enumerate(g):
+                        pidx[gi, wi] = it.p_idx
+                        xts[gi, wi, :13] = it.xt
+                        lens[gi, wi, 0] = it.win.length
+                        starts[gi, wi] = it.gstart
+                t1 = time.perf_counter()
+                alt, nul = self._invoke_scores_gang(
+                    pidx, xts, lens, starts, nlb)
+                t2 = time.perf_counter()
+                if m is not None:
+                    m.add_wall("pack", t1 - t0)
+                    m.add_wall("dispatch", t2 - t1)
+                    if _sync_debug():
+                        np.asarray(alt).sum()
+                        Kp = self.tables.shape[2]
+                        m.add_wall(
+                            f"bkt_gang_kp{Kp}_nlb{nlb}_n{N}_w{wg}",
+                            time.perf_counter() - t2)
+                nbytes = N * nlb * self.kappa * 5 * wg * 4
+                entries.append((_Bucket(nlb=nlb, groups=chunk, w=wg),
+                                alt, nul, nbytes))
+        return entries
+
+    def _invoke_scores_gang(self, pidx, xts, lens, starts, nlb):
+        """Mixed-profile HBM scoring call (one profile PER SLOT)."""
+        import jax.numpy as jnp
+
+        return self._vp._gather_scores_pairs_hbm_mixed_jit(
+            jnp.asarray(pidx), self.tables, self.tvecs,
+            jnp.asarray(xts), jnp.asarray(lens), jnp.asarray(starts),
+            self.dev_codes.dev, kappa=self.kappa, nlb=int(nlb),
+            interpret=self.interpret)
+
+    def _invoke_scores_chained_carry(self, pidx, sblk, wlen, gst, xti,
+                                     conts, route, carry_prev, nlb):
+        """Carry-mode chained call (segmented windows): routes the prior
+        segment chunk's exported DP state into this chunk's carry_in by
+        a device-side flat gather, then invokes the carry kernel.
+        Device-parallel scorers override to shard the pair dim."""
+        import jax.numpy as jnp
+
+        Kp = self.tables.shape[2]
+        N = pidx.shape[0]
+        CWn = self._vp.CW
+        if carry_prev is None:
+            cbig = jnp.zeros((N, 13, CWn, Kp), jnp.float32)
+            csml = jnp.zeros((N, 32, CWn, 1), jnp.float32)
+        else:
+            pbig, psml, n_src = carry_prev
+            fn = self._vp._carry_permute_jit(n_src, N)
+            cbig, csml = fn(pbig, psml, jnp.asarray(route))
+        return self._vp.viterbi_scores_pairs_chained_carry(
+            jnp.asarray(pidx), self.tables, self.tvecs,
+            jnp.asarray(sblk), jnp.asarray(wlen), jnp.asarray(gst),
+            jnp.asarray(xti), jnp.asarray(conts), cbig, csml,
+            self._xt_lut_dev, self.dev_codes.dev,
+            nlb=nlb, kappa=self.kappa, interpret=self.interpret)
+
+    def _invoke_scores_chained(self, pidx, sblk, wlen, gst, xti, nlb,
+                               maxblk):
         """The chained phase-1 kernel call; device-parallel scorers
         override this to shard the pair dim over a mesh."""
         import jax.numpy as jnp
@@ -668,7 +873,8 @@ class PairScorer:
             jnp.asarray(pidx), self.tables, self.tvecs,
             jnp.asarray(sblk), jnp.asarray(wlen), jnp.asarray(gst),
             jnp.asarray(xti), self._xt_lut_dev, self.dev_codes.dev,
-            nlb=nlb, kappa=self.kappa, interpret=self.interpret)
+            nlb=nlb, maxblk=maxblk, kappa=self.kappa,
+            interpret=self.interpret)
 
     def _dispatch_classic(self, items: list[PairItem]) -> list:
         """Rung-bucketed dispatch (one window per slot)."""
@@ -1079,8 +1285,10 @@ class BucketedPairScorer:
     W_LANE_BUDGET = 128 * 2048
     # HBM-table mode: VMEM holds only the DP state + staged emission
     # blocks, HBM_STATE_BYTES_PER_LANE * w * Kp bytes (the constant is
-    # defined next to the kernel and shared with bench.py); budget ~10.5 MB.
-    HBM_STATE_BUDGET = 10_500_000
+    # defined next to the kernel and shared with bench.py).  Under the
+    # 64 MB Mosaic limit the budget allows w=64 at Kp~4.7k (measured
+    # 69.6 GCUPS vs 56.2 at w=16 on v5e); Kp=16384 still gets w=16.
+    HBM_STATE_BUDGET = 32_000_000
     # Lane packing (PackedPairScorer): profiles whose 64-lane seg need is
     # at most PACK_MAX_SEG pack NSEG per plane, capped at PACK_KP_MAX
     # total lanes (bigger planes amortize per-position work; beyond 512

@@ -133,3 +133,113 @@ def test_chained_scores_bit_exact(setup):
     assert checked == len(wins) * 3
     # the all-pad pair's outputs are never read; just ensure no NaNs leak
     assert not np.isnan(alt[3]).any() or True
+
+
+def test_segmented_carry_bit_exact(setup):
+    """A window longer than the chain cap, split into cap-block segments
+    run through CONSECUTIVE carry-mode calls (DP state exported/imported
+    across calls), must score bit-identically to the whole window —
+    and a normal window riding the same calls' spare slots must too."""
+    import jax.numpy as jnp
+
+    seq, dev_codes, tables, tvecs = setup
+    long_win = (0, 520)  # 13 l-blocks at kappa=40
+    norm_wins = [(600, 760), (800, 900), (1000, 1090), (1200, 1360)]
+    ref_long = _ref_scores(dev_codes, tables, tvecs, 0, [long_win])[0]
+    ref_norm = _ref_scores(dev_codes, tables, tvecs, 0, norm_wins)
+
+    cap = 4  # blocks per segment call
+    kappa = KAPPA
+    total = long_win[1] - long_win[0]
+    nsegs = -(-(-(-total // kappa)) // cap)  # ceil(blocks / cap)
+    N, C = 1, 1
+    lut = np.zeros((16, 16), np.float32)
+    lut[0, :13] = xtrans_cost_vector(True, False, total)
+    for i, (a, b) in enumerate(norm_wins):
+        lut[1 + i, :13] = xtrans_cost_vector(True, False, b - a)
+
+    carry = None
+    out = None
+    for t in range(nsegs):
+        sblk = np.zeros((N, W, C), np.int32)
+        wlen = np.zeros((N, W, C), np.int32)
+        gst = np.full((N, W, C), dev_codes.pad_start, np.int32)
+        xti = np.zeros((N, W, C), np.int32)
+        conts = np.zeros((N, W), np.int32)
+        # slot 0: segment t of the long window
+        if t < nsegs - 1:
+            wlen[0, 0, 0] = cap * kappa
+        else:
+            wlen[0, 0, 0] = total - (nsegs - 1) * cap * kappa
+        gst[0, 0, 0] = dev_codes.gstart(0, long_win[0]) + t * cap * kappa
+        conts[0, 0] = 1 if t > 0 else 0
+        # slot 1: a normal window rides along in every call
+        a, b = norm_wins[t]
+        wlen[0, 1, 0] = b - a
+        gst[0, 1, 0] = dev_codes.gstart(0, a)
+        xti[0, 1, 0] = 1 + t
+        if carry is None:
+            cbig = jnp.zeros((N, 13, vp.CW, tables.shape[2]), jnp.float32)
+            csml = jnp.zeros((N, 32, vp.CW, 1), jnp.float32)
+        else:
+            fn = vp._carry_permute_jit(N, N)
+            cbig, csml = fn(carry[0], carry[1],
+                            jnp.asarray(np.arange(N * vp.CW,
+                                                  dtype=np.int32)))
+        alt, nul, cbig_o, csml_o = vp.viterbi_scores_pairs_chained_carry(
+            jnp.asarray(np.zeros((N,), np.int32)), tables, tvecs,
+            jnp.asarray(sblk), jnp.asarray(wlen), jnp.asarray(gst),
+            jnp.asarray(xti), jnp.asarray(conts), cbig, csml,
+            jnp.asarray(lut), dev_codes.dev, nlb=cap, kappa=kappa,
+            interpret=True)
+        carry = (cbig_o, csml_o)
+        out = (np.asarray(alt), np.asarray(nul))
+        # the ride-along normal window scores exactly every call
+        want_nul, want_alt = ref_norm[t]
+        assert np.asarray(alt)[0, 1, 0] == np.float32(want_alt), t
+        assert np.asarray(nul)[0, 1, 0] == np.float32(want_nul), t
+
+    want_nul, want_alt = ref_long
+    assert out[0][0, 0, 0] == np.float32(want_alt)
+    assert out[1][0, 0, 0] == np.float32(want_nul)
+
+
+@pytest.mark.parametrize("over_cap_tier", ["gang", "seg"])
+def test_scheduler_over_cap_products(tmp_path, monkeypatch, over_cap_tier):
+    """Full-scanner equivalence with windows forced through the
+    over-cap tiers: shrink the chain admission cap so consensus
+    whole-read windows either join a mixed-profile HBM gang group
+    (default) or split into carry segments (DECIPHON_CHAIN_SEG=1),
+    then require products identical to the host-path ("jax") scan."""
+    import json
+    import os
+
+    from deciphon_tpu.io.dcp import read_dcp_profiles
+    from deciphon_tpu.press import press
+    from deciphon_tpu.scan.pipeline import ScanConfig, Scanner
+    from deciphon_tpu.scan.scheduler import PairScorer
+
+    monkeypatch.setattr(PairScorer, "CHAIN_MAX_BLK", 4)
+    monkeypatch.setattr(PairScorer, "NLB_FLOOR", 4)
+    if over_cap_tier == "seg":
+        monkeypatch.setenv("DECIPHON_CHAIN_SEG", "1")
+
+    dcp = tmp_path / "minifam.dcp"
+    press("/root/reference/c-core/minifam.hmm", str(dcp))
+    _, profiles = read_dcp_profiles(str(dcp))
+    here = os.path.dirname(__file__)
+    with open(os.path.join(here, "data_consensus.json")) as fp:
+        entries = json.load(fp)[:2]
+    rng = np.random.default_rng(11)
+    reads = [Sequence.make(i, f"short{i}", "".join(
+        "ACGT"[b] for b in rng.integers(0, 4, size=150)))
+        for i in range(2)]  # 4-block windows pin a tiny chain cap
+    for e in entries:  # consensus reads (hits) then SEGMENT
+        reads.append(Sequence.make(len(reads), e["name"], e["seq"]))
+    outs = {}
+    for engine in ("jax", "pallas-interpret"):
+        sc = Scanner(profiles, ScanConfig(engine=engine))
+        out = sc.run(reads, str(tmp_path / engine))
+        outs[engine] = open(out).read()
+    assert outs["jax"] == outs["pallas-interpret"]
+    assert len(outs["jax"].splitlines()) > 1  # hits were produced
