@@ -109,7 +109,8 @@ def brute_forward_bits(hmm: HMMProfile, seq_idx: list[int]) -> float:
 
     fwd = rest("N", -1, 0)  # S->N is free
     null_len = L * math.log(L / (L + 1.0)) + math.log(1.0 / (L + 1.0))
-    return (fwd - null_len) / LN2
+    # same hmmpgmd score-convention correction as bit_score (forward.py)
+    return (fwd - math.log(L) - null_len) / LN2
 
 
 @pytest.mark.parametrize("seed,K,L", [(1, 2, 4), (2, 3, 5), (3, 2, 6)])
@@ -151,8 +152,9 @@ def test_posterior_usages_sum_to_sequence_length():
     plain_bits = scorer.bit_score(0, amino)
     L = len(amino)
     null_len = L * math.log(L / (L + 1.0)) + math.log(1.0 / (L + 1.0))
-    np.testing.assert_allclose((fwd - null_len) / LN2, plain_bits,
-                               rtol=1e-4, atol=1e-3)
+    # bit_score applies the hmmpgmd ln(L) convention (forward.py)
+    np.testing.assert_allclose((fwd - math.log(L) - null_len) / LN2,
+                               plain_bits, rtol=1e-4, atol=1e-3)
 
 
 def test_null2_bias_penalizes_low_complexity():
@@ -176,6 +178,38 @@ def test_null2_bias_penalizes_low_complexity():
     drop = (scorer.bit_score(0, cons, null2=False)
             - scorer.bit_score(0, cons, null2=True))
     assert 0.0 <= drop < 5.0, drop
+
+
+def test_confirmer_matches_fixture_hmmpgmd_stats():
+    """NativeConfirmer accuracy vs GENUINE hmmpgmd numbers: the reference
+    fixture control/tests/files/snap.dcs embeds real h3r stats (bit
+    score, lnP, Z=3) produced by a live hmmpgmd for the minifam
+    consensus workload.  Our Forward scorer must reproduce the reported
+    full-sequence bit score within 0.1 bits and log10 e-value within
+    0.05 — including the null2 bias (ref dombias matched to <=0.05
+    bits) and the ln(L) score-convention correction (forward.py
+    bit_score)."""
+    from deciphon_tpu.snap.snap_file import read_snap
+
+    hmms = read_hmm(MINIFAM)
+    scorer = AminoForwardScorer(hmms)
+    snap = read_snap("/root/reference/control/tests/files/snap.dcs")
+    name2idx = {h.accession: i for i, h in enumerate(hmms)}
+    assert len(snap.products) == 3
+    for p in snap.products:
+        h3r = H3Result.from_blob(p.h3result_blob)
+        hit = h3r.hits[0]
+        aminos = "".join(m.amino for m in p.match_list if m.amino)
+        i = name2idx[p.profile]
+        score, logE = scorer.evalue(i, aminos, Z=h3r.Z, null2=True)
+        assert abs(score - hit.score) <= 0.1, (p.profile, score, hit.score)
+        ref_logE = h3r.hit_logevalue(0)
+        assert abs(logE - ref_logE) / math.log(10) <= 0.05, (
+            p.profile, logE, ref_logE)
+        # null2 bias in isolation tracks the reference's reported bias
+        raw, _ = scorer.evalue(i, aminos, Z=h3r.Z, null2=False)
+        ref_bias = hit.pre_score - hit.score
+        assert abs((raw - score) - ref_bias) <= 0.1, p.profile
 
 
 def test_native_confirmer_policy():
@@ -214,6 +248,42 @@ def test_fake_daemon_roundtrip():
             logeval, blob = client.confirm(2, "MAGIC")
             assert logeval == pytest.approx(-30.0 + math.log(3.0))
             assert H3Result.from_blob(blob).hits[0].acc == "PF000"
+
+
+@pytest.mark.skipif(__import__("shutil").which("hmmpgmd") is None,
+                    reason="HMMER3 binaries not installed")
+def test_live_hmmpgmd_end_to_end(tmp_path):
+    """Gated real-daemon path (c-core/hmmer.c + worker/hmmer.py:15-36):
+    boot a genuine hmmpgmd over minifam and confirm a consensus amino
+    query — the client wire protocol, h3r parsing, and e-value flow
+    against the real server.  Runs only where HMMER3 is installed."""
+    import socket
+
+    from deciphon_tpu.hmmer.daemon import launch_hmmpgmd
+    from deciphon_tpu.snap.snap_file import read_snap
+
+    with socket.socket() as s:  # pick a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = launch_hmmpgmd(MINIFAM, port)
+    try:
+        hmms = read_hmm(MINIFAM)
+        snap = read_snap("/root/reference/control/tests/files/snap.dcs")
+        p = snap.products[0]
+        aminos = "".join(m.amino for m in p.match_list if m.amino)
+        idx = next(i for i, h in enumerate(hmms)
+                   if h.accession == p.profile)
+        client = HMMERClient("127.0.0.1", port, num_proteins=len(hmms),
+                             has_ga=all(h.has_ga for h in hmms))
+        with client:
+            res = client.get(idx, aminos)
+            assert res.nhits >= 1
+            ref = H3Result.from_blob(p.h3result_blob)
+            # same workload the fixture's hmmpgmd saw: scores agree
+            assert abs(res.hits[0].score - ref.hits[0].score) < 0.5
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
 
 
 def test_fake_daemon_error_status():
