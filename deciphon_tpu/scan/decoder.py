@@ -50,14 +50,19 @@ class Decoder:
         self.bg_q = nuclt_marginal_lprobs(
             profile.bg_codon_lprobs.astype(np.float64))
         self._consts = _di_class_logconst(profile.epsilon)
-        # (distribution, fragment code) -> (codon, amino): decoding is a
+        # (distribution, fragment code) -> ML codon memo: decoding is a
         # pure function of the pair and real scans repeat pairs heavily
         # (the same hit alignment recurs across reads), so survivor-heavy
-        # scans decode mostly from this table.  Capped: the key space is
-        # (K+2) x 1364 and a huge-K profile could otherwise grow it into
-        # GBs on a pathological scan.
-        self._memo: dict[tuple[int, int], tuple[str, str]] = {}
-        self._memo_cap = 2_000_000
+        # scans decode mostly from this table.  A flat int16 plane
+        # ((#distributions, 1364), 0 = unseen, else codon+1) replaces the
+        # round-4 dict — the per-step Python key/lookup loop was the
+        # measured survivor-heavy host hot spot; the plane is ~0.5 MB at
+        # K=200 and 45 MB at the reference's K=16384 ceiling.  Row 0 =
+        # insert (bg), row 1 = specials (null), row 2+k = match node k.
+        self._memo_zi = np.zeros(
+            (self.match_codons.shape[0] + 2, 1364), np.int16)
+        self._codon_sym = [codon_symbols(z) for z in range(64)]
+        self._amino_sym = [self.gencode.decode(z) for z in range(64)]
 
     def _dist_key(self, sid: int) -> int:
         if st.is_insert(sid):
@@ -94,45 +99,39 @@ class Decoder:
         """Vectorized + memoized decode of many steps at once: identical
         results to decode_codon_amino per step; only (distribution,
         fragment) pairs never seen before pay the conditional-score
-        math."""
+        math.  Fully array-vectorized — the per-step Python key loop of
+        the dict memo was the measured survivor-heavy host cost."""
         B = len(sids)
         if B == 0:
             return []
-        out: list[tuple[str, str] | None] = [None] * B
-        keys = []
-        miss: list[int] = []
-        for i in range(B):
-            key = (self._dist_key(sids[i]), int(frag_codes[i]))
-            keys.append(key)
-            got = self._memo.get(key)
-            if got is None:
-                miss.append(i)
-            else:
-                out[i] = got
-        if miss:
-            fcs = np.asarray([int(frag_codes[i]) for i in miss], np.int64)
+        sids_a = np.asarray(sids, np.int64)
+        fcs_a = np.asarray(frag_codes, np.int64)
+        cls = sids_a >> 14
+        core = (sids_a & 0x3FFF) - 1  # core_idx for M/I rows
+        row = np.where(cls == 1, 0, np.where(cls == 0, core + 2, 1))
+        zi = self._memo_zi[row, fcs_a]
+        miss = np.nonzero(zi == 0)[0]
+        if miss.size:
+            fcs = fcs_a[miss]
             M = len(miss)
             codons = np.empty((M, 64), np.float64)
             q = np.empty((M, 4), np.float64)
             for j, i in enumerate(miss):
-                codons[j], q[j] = self._dist_for(sids[i])
+                codons[j], q[j] = self._dist_for(int(sids_a[i]))
             cond = self._cond_scores_batch(fcs, q)  # (M, 64)
             joint = codons + cond
             zis = np.argmax(joint, axis=1)
             best = joint[np.arange(M), zis]
             if not np.isfinite(best).all():
-                bad = miss[int(np.argmin(np.isfinite(best)))]
+                bad = int(miss[int(np.argmin(np.isfinite(best)))])
                 raise ValueError(
                     f"cannot decode fragment code {frag_codes[bad]} in "
                     f"state {sids[bad]}")
-            memo_full = len(self._memo) >= self._memo_cap
-            for j, i in enumerate(miss):
-                got = (codon_symbols(int(zis[j])),
-                       self.gencode.decode(int(zis[j])))
-                if not memo_full:
-                    self._memo[keys[i]] = got
-                out[i] = got
-        return out
+            self._memo_zi[row[miss], fcs] = zis.astype(np.int16) + 1
+            zi = self._memo_zi[row, fcs_a]
+        zi = zi - 1
+        sym, aa = self._codon_sym, self._amino_sym
+        return [(sym[z], aa[z]) for z in zi]
 
     def _cond_scores_batch(self, fcs: np.ndarray, q: np.ndarray) -> np.ndarray:
         """log p(F | z) for all 64 codons, one row per fragment."""

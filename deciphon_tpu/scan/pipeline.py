@@ -304,9 +304,9 @@ class Scanner:
                 pending = nxt
             return wave
 
-        def process(items, scores) -> None:
+        def lrt_pass(items, scores) -> list[tuple[PairItem, float]]:
+            """LRT filter of one collected wave; returns the survivors."""
             self.metrics.pairs_batches += 1
-            rewound: dict = {}  # key -> rewind cutoff window idx
             survivors: list[tuple[PairItem, float]] = []
             for it in items:
                 key = (it.p_idx, it.s_idx)
@@ -320,10 +320,10 @@ class Scanner:
                 line_lrt = lrt(null_c, alt_c)
                 if math.isfinite(line_lrt) and line_lrt >= 0:
                     survivors.append((it, line_lrt))
-            # Phase 2 batched across this wave's survivors (grouped by
-            # profile and padded length): survivor-heavy scans pay one
-            # vmapped path pass per group, not one dispatch per survivor.
-            paths = self._batched_paths(survivors)
+            return survivors
+
+        def process(survivors, paths) -> None:
+            rewound: dict = {}  # key -> rewind cutoff window idx
             with self.metrics.timed("phase2_decode"):
                 for it, line_lrt in survivors:
                     key = (it.p_idx, it.s_idx)
@@ -370,19 +370,35 @@ class Scanner:
                     self.scorer.set_device_codes(None)
                     self._dev_codes = None
                 raise Scanner.Interrupted("scan interrupted")
-            wave = assemble()
             if can_pipeline:
-                handle = self.scorer.dispatch_all(wave) if wave else None
+                # Phase-ordering for overlap: collect wave k's phase-1,
+                # ENQUEUE wave k's path kernels, THEN dispatch wave
+                # k+1's phase-1 (which queues behind the small path
+                # passes), and only then fetch/decode wave k's paths —
+                # so the step-array fetch waits for the path kernels
+                # alone while wave k+1's phase-1 overlaps the host-side
+                # decode/product work (round-4 booked wave k+1's device
+                # time to phase2_collect because paths enqueued last).
+                survivors, pend = [], []
                 if inflight is not None:
                     prev_handle, prev_items = inflight
-                    process(prev_items, self.scorer.collect_all(prev_handle))
+                    scores = self.scorer.collect_all(prev_handle)
+                    survivors = lrt_pass(prev_items, scores)
+                    pend = self._batched_paths_dispatch(survivors)
+                wave = assemble()
+                handle = self.scorer.dispatch_all(wave) if wave else None
+                if inflight is not None:
+                    process(survivors, self._batched_paths_collect(pend))
                 inflight = (handle, wave) if wave else None
                 if inflight is None and not any(chains.values()):
                     break
             else:
+                wave = assemble()
                 if not wave:
                     break
-                process(wave, self.scorer.score(wave))
+                survivors = lrt_pass(wave, self.scorer.score(wave))
+                pend = self._batched_paths_dispatch(survivors)
+                process(survivors, self._batched_paths_collect(pend))
 
         with self.metrics.timed("write"):
             writer.sort_lines()
@@ -425,27 +441,23 @@ class Scanner:
     # ~(2K+8) bytes per position per survivor, so chunk groups to bound it.
     PATH_BATCH_BYTES = 256 << 20
 
-    def _batched_paths(self, survivors) -> dict[int, list]:
-        """Path-mode Viterbi + traceback for every LRT survivor of one
-        scoring round.
+    def _batched_paths_dispatch(self, survivors) -> list:
+        """Enqueue path-mode Viterbi + device traceback for every LRT
+        survivor of one scoring round WITHOUT fetching results.
 
         Survivors are grouped by (profile, padded window length); each
         group runs as one vmapped path pass (ops/viterbi_jax.py
         viterbi_path_batch) whose trellis is immediately consumed by the
         DEVICE-side traceback walk (ops/traceback.py unzip_device_batch)
         — only the (state, size) step arrays cross to the host, not the
-        (L, K) trellis.  Returns {id(item) -> path}.  The per-survivor
-        lax.scan of the reference flow (c-core/thread.c:126) stays only
-        as the group-of-one case.
-        """
-        import jax
-
-        from ..ops.traceback import _unzip_batch_jit, assemble_path_entries
+        (L, K) trellis.  The per-survivor lax.scan of the reference flow
+        (c-core/thread.c:126) stays only as the group-of-one case.
+        Returns the in-flight entry list for _batched_paths_collect."""
+        from ..ops.traceback import _unzip_batch_jit
         from ..ops.viterbi_jax import viterbi_path_batch
 
         m = self.metrics
 
-        out: dict[int, list] = {}
         sitems = [it for it, _ in survivors]
         inflight: list[tuple] = []
         if hasattr(self.scorer, "paths_dispatch"):
@@ -463,15 +475,10 @@ class Scanner:
             groups.setdefault((it.p_idx, _pad_len(it.win.length)),
                               []).append(it)
         inflight_bytes = 0
+        early: dict[int, list] = {}
 
         def collect(entries):
-            # one batched transfer of the step arrays (~KB per survivor)
-            t0 = time.perf_counter()
-            flat = jax.device_get(
-                [a for e in entries for a in (e[1], e[2], e[3], e[4])])
-            if m is not None:
-                m.add_wall("phase2_collect", time.perf_counter() - t0)
-            assemble_path_entries([e[:9] for e in entries], flat, out)
+            self._collect_path_entries(entries, early)
 
         for (p_idx, Lpad), items in groups.items():
             costs = self.costs[p_idx]
@@ -517,8 +524,37 @@ class Scanner:
                     old = inflight.pop(0)
                     collect([old])
                     inflight_bytes -= old[9]
-        if inflight:
-            collect(inflight)
+        if early:
+            inflight.append(early)
+        return inflight
+
+    def _collect_path_entries(self, entries, out: dict) -> None:
+        # one batched transfer of the step arrays (~KB per survivor)
+        import jax
+
+        from ..ops.traceback import assemble_path_entries
+
+        t0 = time.perf_counter()
+        flat = jax.device_get(
+            [a for e in entries for a in (e[1], e[2], e[3], e[4])])
+        if self.metrics is not None:
+            self.metrics.add_wall("phase2_collect",
+                                  time.perf_counter() - t0)
+        assemble_path_entries([e[:9] for e in entries], flat, out)
+
+    def _batched_paths_collect(self, inflight) -> dict[int, list]:
+        """Fetch the step arrays of every entry _batched_paths_dispatch
+        queued (ONE device_get for the whole wave) and assemble
+        {id(item) -> (sids, sizes)}."""
+        out: dict[int, list] = {}
+        entries = []
+        for e in inflight:
+            if isinstance(e, dict):  # early-collected under the byte cap
+                out.update(e)
+            else:
+                entries.append(e)
+        if entries:
+            self._collect_path_entries(entries, out)
         return out
 
     def _phase2(self, it: PairItem, seq: Sequence, line_lrt: float,
