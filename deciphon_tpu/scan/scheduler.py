@@ -737,7 +737,9 @@ class PairScorer:
                 alt, nul, cbig, csml = self._invoke_scores_chained_carry(
                     pidx, sblk, wlen, gst, xti, conts_arr, route,
                     carry_prev, cap)
-                carry_prev = (cbig, csml, N)
+                # shape from the array: the mesh override pads the pair
+                # dim to the device count beyond pad_groups' N
+                carry_prev = (cbig, csml, int(cbig.shape[0]))
             else:
                 alt, nul = self._invoke_scores_chained(
                     pidx, sblk, wlen, gst, xti, cap, maxblk)
@@ -1099,7 +1101,8 @@ class PackedPairScorer:
 
     def __init__(self, costs_list: list[ViterbiCosts], nseg: int,
                  interpret=False, kappa: int | None = None,
-                 w: int | None = None, inner_w: int | None = None):
+                 w: int | None = None, inner_w: int | None = None,
+                 inner_factory=None):
         import jax.numpy as jnp
 
         from ..ops import viterbi_pallas as vp
@@ -1120,7 +1123,8 @@ class PackedPairScorer:
             w = self.PACKED_W.get(self.Kp, 64)
         self.w = w
         self.interpret = interpret
-        self.inner = PairScorer(costs_list, interpret=interpret,
+        make_inner = inner_factory or PairScorer
+        self.inner = make_inner(costs_list, interpret=interpret,
                                 kappa=kappa, w=inner_w)
         self.dev_codes = None
         self._metrics = None
@@ -1198,13 +1202,8 @@ class PackedPairScorer:
                         lens[gi, wi, 0] = it0.win.length
                         starts[gi, wi] = it0.gstart
                 t1 = time.perf_counter()
-                alt, nul = self._vp.viterbi_scores_pairs_packed(
-                    jnp.asarray(pidx), self.tables, self.tvecs,
-                    jnp.asarray(xts), jnp.asarray(lens),
-                    starts=jnp.asarray(starts),
-                    codes_all=self.dev_codes.dev, nlb=nlb,
-                    kappa=self.kappa, nseg=self.nseg,
-                    interpret=self.interpret)
+                alt, nul = self._invoke_scores_packed(
+                    pidx, xts, lens, starts, nlb)
                 t2 = time.perf_counter()
                 if m is not None:
                     m.add_wall("pack", t1 - t0)
@@ -1226,6 +1225,19 @@ class PackedPairScorer:
         if results:
             inflight.insert(0, results)
         return inflight
+
+    def _invoke_scores_packed(self, pidx, xts, lens, starts, nlb):
+        """The packed phase-1 kernel call; the device-parallel subclass
+        shards the pack-group dim over its mesh."""
+        import jax.numpy as jnp
+
+        return self._vp.viterbi_scores_pairs_packed(
+            jnp.asarray(pidx), self.tables, self.tvecs,
+            jnp.asarray(xts), jnp.asarray(lens),
+            starts=jnp.asarray(starts),
+            codes_all=self.dev_codes.dev, nlb=nlb,
+            kappa=self.kappa, nseg=self.nseg,
+            interpret=self.interpret)
 
     def _collect_entry(self, entry, results, m=None) -> None:
         if isinstance(entry[0], (_Bucket, _ChainChunk)):  # inner entry
@@ -1348,13 +1360,14 @@ class BucketedPairScorer:
         factory = scorer_factory or default_factory
 
         # Small-K profiles class by 64-lane seg need and lane-pack NSEG
-        # per plane (PackedPairScorer) — only on the default single-device
-        # tier (custom factories and the device-parallel tier keep the
-        # classic pow2 buckets; packing composes with them in a later
-        # round).  Singleton classes aren't worth a packed program.
+        # per plane (PackedPairScorer on one device,
+        # MultiDevicePackedScorer with pack-groups sharded over the mesh
+        # — round-4's "mesh loses the packing tier" weak spot).  Custom
+        # factories keep the classic pow2 buckets.  Singleton classes
+        # aren't worth a packed program.
         packed_classes: dict[int, list[int]] = {}
         plain: list[int] = []
-        allow_packing = scorer_factory is None and mesh is None
+        allow_packing = scorer_factory is None
         for i, c in enumerate(costs_list):
             segn = vp.round_up(c.K + 2, 64)
             if allow_packing and segn <= self.PACK_MAX_SEG:
@@ -1381,9 +1394,16 @@ class BucketedPairScorer:
             inner_w = w if w is not None else max(
                 8, min(self.w_cap(inner_kp),
                        self.W_LANE_BUDGET // inner_kp))
-            self.scorers.append(PackedPairScorer(
-                costs, nseg=nseg, interpret=interpret, kappa=kappa,
-                w=w, inner_w=inner_w))
+            if mesh is not None:
+                from ..parallel.multidevice import MultiDevicePackedScorer
+
+                self.scorers.append(MultiDevicePackedScorer(
+                    costs, nseg=nseg, mesh=mesh, interpret=interpret,
+                    kappa=kappa, w=w, inner_w=inner_w))
+            else:
+                self.scorers.append(PackedPairScorer(
+                    costs, nseg=nseg, interpret=interpret, kappa=kappa,
+                    w=w, inner_w=inner_w))
 
         buckets: dict[int, list[int]] = {}
         for i in plain:

@@ -23,3 +23,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy kernel/mesh cases excluded from the fast tier "
+        "(pytest -m 'not slow' covers every kernel surface in minutes; "
+        "run the full suite before releases)")

@@ -229,11 +229,11 @@ def test_scheduler_over_cap_products(tmp_path, monkeypatch, over_cap_tier):
     _, profiles = read_dcp_profiles(str(dcp))
     here = os.path.dirname(__file__)
     with open(os.path.join(here, "data_consensus.json")) as fp:
-        entries = json.load(fp)[:2]
+        entries = json.load(fp)[:1]
     rng = np.random.default_rng(11)
     reads = [Sequence.make(i, f"short{i}", "".join(
         "ACGT"[b] for b in rng.integers(0, 4, size=150)))
-        for i in range(2)]  # 4-block windows pin a tiny chain cap
+        for i in range(1)]  # 4-block windows pin a tiny chain cap
     for e in entries:  # consensus reads (hits) then SEGMENT
         reads.append(Sequence.make(len(reads), e["name"], e["seq"]))
     outs = {}

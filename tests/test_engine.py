@@ -68,6 +68,7 @@ def test_entry_compiles():
     assert np.isfinite(nul).all() and np.isfinite(alt).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 4])
 def test_dryrun_various_device_counts(n):
     import __graft_entry__ as ge

@@ -59,6 +59,7 @@ def test_window_cursor_long_sequence():
         assert b.start <= a.stop
 
 
+@pytest.mark.slow
 def test_longread_windowed_scan(profiles_eps10, tmp_path):
     """150 kb mutated repeat (the reference's test_window workload size):
     with 7/10 positions randomized only a rare window clears the LRT —

@@ -46,6 +46,7 @@ def seqs():
     return [Sequence.make(e["id"], e["name"], e["seq"]) for e in raw]
 
 
+@pytest.mark.slow
 def test_multidevice_full_scanner_e2e(profiles, seqs, tmp_path):
     """The production device-parallel path end to end: speculation,
     phase-2 path kernel, hits, product writing — byte-identical to the
@@ -68,11 +69,34 @@ def test_multidevice_full_scanner_e2e(profiles, seqs, tmp_path):
     assert multi.metrics.survivors == single.metrics.survivors
 
     assert open(out_single).read() == open(out_multi).read()
-    # the multi engine really used the sharded scorer tier
-    assert all(isinstance(s, MultiDevicePairScorer)
+    # the multi engine really used the sharded scorer tiers (packed
+    # small-K classes included — round-4's mesh tier lost lane packing)
+    from deciphon_tpu.parallel.multidevice import MultiDevicePackedScorer
+
+    assert all(isinstance(s, (MultiDevicePairScorer,
+                              MultiDevicePackedScorer))
                for s in multi.scorer.scorers)
 
 
+def test_multidevice_mini_e2e(profiles, seqs, tmp_path):
+    """Fast-tier representative of the full device-parallel scanner: one
+    consensus read through the mesh engine (chains + packed small-K
+    classes + phase 2), products byte-identical to 1-device."""
+    assert len(jax.devices()) >= 8
+    single = Scanner(profiles, ScanConfig(engine="pallas-interpret"),
+                     scorer=lambda costs: BucketedPairScorer(
+                         costs, interpret=True, w=8))
+    out_single = single.run(seqs[:1], str(tmp_path / "single"))
+    multi = Scanner(profiles, ScanConfig(engine="pallas-multi-interpret"),
+                    scorer=lambda costs: BucketedPairScorer(
+                        costs, interpret=True, w=8,
+                        devices=jax.devices()))
+    out_multi = multi.run(seqs[:1], str(tmp_path / "multi"))
+    assert single.metrics.survivors > 0
+    assert open(out_single).read() == open(out_multi).read()
+
+
+@pytest.mark.slow
 def test_multidevice_longread_and_hbm_tier(tmp_path):
     """Windowed long reads (speculative chains over many waves) plus an
     HBM-table-tier profile through the device-parallel scorer, vs the

@@ -133,6 +133,7 @@ def test_static_gather_mode_bit_identical():
     assert np.array_equal(np.asarray(n1), np.asarray(n3))
 
 
+@pytest.mark.slow
 def test_bucketed_scorer_routes_large_profiles_to_hbm_kernel():
     """K beyond the VMEM table limit must score via the HBM-table kernel
     (the reference supports K <= 16384, c-core/model.h:12), bit-identical
@@ -168,6 +169,27 @@ def test_bucketed_scorer_routes_large_profiles_to_hbm_kernel():
     for it in items:
         np.testing.assert_allclose(got[id(it)], want[id(it)],
                                    rtol=2e-6, atol=2e-5)
+
+
+def test_bucketed_scorer_hbm_routing_construction():
+    """Fast-tier routing check: oversized-K buckets construct HBM-table
+    scorers (the scoring itself is covered by
+    test_hbm_kernel_bit_identical_to_vmem_kernel; the full bucketed
+    HBM scoring equivalence is the slow-tier test above)."""
+    from deciphon_tpu.scan.scheduler import BucketedPairScorer
+
+    costs = [build_costs(sample_profile(1, 6)),
+             build_costs(sample_profile(2, 9))]
+    saved = BucketedPairScorer.MAX_PALLAS_KP
+    saved_pack = BucketedPairScorer.PACK_MAX_SEG
+    try:
+        BucketedPairScorer.MAX_PALLAS_KP = 64
+        BucketedPairScorer.PACK_MAX_SEG = 0
+        bucketed = BucketedPairScorer(costs, interpret=True)
+        assert all(s.hbm_table for s in bucketed.scorers)
+    finally:
+        BucketedPairScorer.MAX_PALLAS_KP = saved
+        BucketedPairScorer.PACK_MAX_SEG = saved_pack
 
 
 def test_hbm_kernel_bit_identical_to_vmem_kernel():

@@ -37,8 +37,9 @@ def _windows(nwin, L, seed=1):
 
 @pytest.mark.parametrize("nseg,seg,ks", [
     (2, 64, [20, 50]),
-    (4, 64, [20, 40, 50]),          # one empty trailing segment
-    (2, 128, [100, 126]),
+    pytest.param(4, 64, [20, 40, 50],  # one empty trailing segment
+                 marks=pytest.mark.slow),
+    pytest.param(2, 128, [100, 126], marks=pytest.mark.slow),
     (4, 128, [60, 90, 110, 126]),
 ])
 def test_packed_kernel_bit_equals_unpacked(nseg, seg, ks):
@@ -84,6 +85,7 @@ def _items(profiles, seqs, dev):
     return items
 
 
+@pytest.mark.slow
 def test_packed_scorer_matches_plain_scorer(monkeypatch):
     """PackedPairScorer (whole-read windows packed + long-read windows on
     the inner unpacked tier) returns exactly PairScorer's scores.

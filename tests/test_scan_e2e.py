@@ -135,6 +135,7 @@ def test_scan_with_native_confirmation(minifam_profiles, consensus_sequences,
     assert h3r.nhits == 1
 
 
+@pytest.mark.slow
 def test_products_invariant_to_speculation_depth(tmp_path):
     """spec_depth=1 is the serial reference walk; deeper speculation with
     hit rewinds must produce byte-identical products on a hit-rich
