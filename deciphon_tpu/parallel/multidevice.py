@@ -158,8 +158,6 @@ class MultiDevicePairScorer(PairScorer):
                  mesh: Mesh | None = None, interpret: bool = False,
                  kappa: int | None = None, w: int | None = None,
                  hbm_table: bool = False):
-        super().__init__(costs_list, interpret=interpret, kappa=kappa,
-                         w=w, hbm_table=hbm_table)
         if mesh is None:
             mesh = make_mesh(devices)
         self.mesh = mesh
@@ -172,18 +170,20 @@ class MultiDevicePairScorer(PairScorer):
             # mode), which neither shard_map nor replicated SPMD accept;
             # its pair counts are too small to shard usefully anyway.
             self._dev0 = mesh.devices.flat[0]
-            self.tables = jax.device_put(self.tables, self._dev0)
-            self.tvecs = jax.device_put(self.tvecs, self._dev0)
-            return
-        rep = NamedSharding(mesh, P())
-        # Profile tables replicate across the mesh: every device scores
-        # arbitrary (profile, window) pairs of this scorer's bucket, the
-        # sharding analog of the reference's per-thread protein setup
-        # (c-core/scan.c:110-134).  Phase 2 and the no-device-codes
-        # fallback paths inherit the base implementations, which run
-        # replicated over the mesh through these same arrays.
-        self.tables = jax.device_put(self.tables, rep)
-        self.tvecs = jax.device_put(self.tvecs, rep)
+        super().__init__(costs_list, interpret=interpret, kappa=kappa,
+                         w=w, hbm_table=hbm_table)
+
+    def _place_tables(self):
+        # Profile tables replicate across the mesh (pinned to one device
+        # for the HBM tier): every device scores arbitrary (profile,
+        # window) pairs of this scorer's bucket, the sharding analog of
+        # the reference's per-thread protein setup (c-core/scan.c:
+        # 110-134).  Phase 2 and the no-device-codes fallback paths
+        # inherit the base implementations through these same arrays.
+        where = (self._dev0 if self.hbm_table
+                 else NamedSharding(self.mesh, P()))
+        return (jax.device_put(self._tables_host, where),
+                jax.device_put(self._tvecs_host, where))
 
     def set_device_codes(self, dev_codes) -> None:
         if dev_codes is not None and self.hbm_table:
@@ -272,7 +272,7 @@ class MultiDevicePairScorer(PairScorer):
 
         from ..ops import viterbi_pallas as vp
 
-        Kp = self.tables.shape[2]
+        Kp = self._tables_host.shape[2]
         CWn = vp.CW
         n = pidx.shape[0]
         N = -(-n // self.ndev) * self.ndev
@@ -332,9 +332,10 @@ class MultiDevicePackedScorer(PackedPairScorer):
             inner_w=inner_w,
             inner_factory=functools.partial(MultiDevicePairScorer,
                                             mesh=mesh))
-        rep = NamedSharding(mesh, P())
-        self.tables = jax.device_put(self.tables, rep)
-        self.tvecs = jax.device_put(self.tvecs, rep)
+    def _place_tables(self):
+        rep = NamedSharding(self.mesh, P())
+        return (jax.device_put(self._tables_host, rep),
+                jax.device_put(self._tvecs_host, rep))
 
     def set_device_codes(self, dev_codes) -> None:
         if dev_codes is not None:

@@ -426,8 +426,19 @@ class PairScorer:
         self.w = w if w is not None else W
         Kp = vp.common_kp(costs_list)
         pairs = [vp.build_tables(c, Kp) for c in costs_list]
-        self.tables = jnp.asarray(np.stack([t for t, _ in pairs]))
-        self.tvecs = jnp.asarray(np.stack([v for _, v in pairs]))
+        self._tables_host = np.stack([t for t, _ in pairs])
+        self._tvecs_host = np.stack([v for _, v in pairs])
+        self._tables_cache = None
+        # Streamed-table mode (the DB-exceeds-HBM tier, set by the
+        # BucketedPairScorer's capacity ledger): emission tables live on
+        # the HOST and upload per dispatch — the upload of wave k+1
+        # overlaps wave k's compute (the runtime keeps buffers alive
+        # while enqueued kernels reference them), and release_tables()
+        # drops the only Python reference so HBM frees once the wave
+        # drains.  The TPU analog of the reference streaming its 32x4 GB
+        # database from disk through per-partition iterators
+        # (c-core/database_writer.c:14, protein_reader.c:77-101).
+        self.stream_tables = False
         self.interpret = interpret
         self.dev_codes: DeviceSeqCodes | None = None
         self.metrics = None  # optional ScanMetrics for phase walls
@@ -436,6 +447,38 @@ class PairScorer:
         self._xt_lut = np.zeros((self.XT_LUT_CAP, 16), np.float32)
         self._xt_lut_idx: dict = {}
         self._xt_lut_dev = None
+
+    def table_bytes(self) -> int:
+        """Device bytes of this scorer's emission/transition tables."""
+        return self._tables_host.nbytes + self._tvecs_host.nbytes
+
+    def _place_tables(self):
+        """Upload the host tables; device-parallel subclasses override
+        placement (replication / pinned device)."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(self._tables_host), jnp.asarray(self._tvecs_host)
+
+    @property
+    def tables(self):
+        if self._tables_cache is None:
+            self._tables_cache = self._place_tables()
+        return self._tables_cache[0]
+
+    @property
+    def tvecs(self):
+        if self._tables_cache is None:
+            self._tables_cache = self._place_tables()
+        return self._tables_cache[1]
+
+    def release_tables(self) -> None:
+        """Streamed mode: drop the device tables after a wave's calls
+        are enqueued (they hold runtime references until executed)."""
+        if self.stream_tables:
+            self._tables_cache = None
+
+    def set_streaming(self, on: bool) -> None:
+        self.stream_tables = on
 
     def set_device_codes(self, dev_codes: DeviceSeqCodes | None) -> None:
         self.dev_codes = dev_codes
@@ -749,7 +792,7 @@ class PairScorer:
                 m.add_wall("dispatch", t2 - t1)
                 if _sync_debug():
                     np.asarray(alt).sum()
-                    Kp = self.tables.shape[2]
+                    Kp = self._tables_host.shape[2]
                     m.add_wall(
                         f"bkt_chain{'seg' if is_seg else ''}_kp{Kp}"
                         f"_cap{cap}_n{N}_w{w_c}",
@@ -821,7 +864,7 @@ class PairScorer:
                     m.add_wall("dispatch", t2 - t1)
                     if _sync_debug():
                         np.asarray(alt).sum()
-                        Kp = self.tables.shape[2]
+                        Kp = self._tables_host.shape[2]
                         m.add_wall(
                             f"bkt_gang_kp{Kp}_nlb{nlb}_n{N}_w{wg}",
                             time.perf_counter() - t2)
@@ -848,7 +891,7 @@ class PairScorer:
         Device-parallel scorers override to shard the pair dim."""
         import jax.numpy as jnp
 
-        Kp = self.tables.shape[2]
+        Kp = self._tables_host.shape[2]
         N = pidx.shape[0]
         CWn = self._vp.CW
         if carry_prev is None:
@@ -921,7 +964,7 @@ class PairScorer:
                 m.add_wall("dispatch", t2 - t1)
                 if _sync_debug():
                     np.asarray(alt).sum()
-                    Kp = self.tables.shape[2]
+                    Kp = self._tables_host.shape[2]
                     m.add_wall(
                         f"bkt_kp{Kp}_nlb{bucket.nlb}_n{len(pidx)}"
                         f"_w{bucket.w}"
@@ -1039,7 +1082,7 @@ class PairScorer:
                     rows.append(gi * wb + wi)
                     flat_items.append(it)
                     lengths.append(it.win.length)
-            Kp = self.tables.shape[2]
+            Kp = self._tables_host.shape[2]
             NP = xn.shape[0]
             xnf = xn.reshape(NP * wb, Lk)
             ndf = nd.reshape(NP * wb, Lk, Kp)
@@ -1063,7 +1106,7 @@ class PairScorer:
             if m is not None:
                 m.add_wall("phase2_path", time.perf_counter() - t0)
             inflight.append((flat_items, sts, szs, ns, oks, xn_sel, nd_sel,
-                             lengths, self.tables.shape[2]))
+                             lengths, self._tables_host.shape[2]))
         return inflight
 
 
@@ -1117,8 +1160,10 @@ class PackedPairScorer:
         pairs = [vp.build_tables_packed(
             costs_list[i * nseg:(i + 1) * nseg], self.seg, nseg)
             for i in range(npack)]
-        self.tables = jnp.asarray(np.stack([t for t, _ in pairs]))
-        self.tvecs = jnp.asarray(np.stack([v for _, v in pairs]))
+        self._tables_host = np.stack([t for t, _ in pairs])
+        self._tvecs_host = np.stack([v for _, v in pairs])
+        self._tables_cache = None
+        self.stream_tables = False  # capacity-ledger streamed mode
         if w is None:
             w = self.PACKED_W.get(self.Kp, 64)
         self.w = w
@@ -1129,6 +1174,20 @@ class PackedPairScorer:
         self.dev_codes = None
         self._metrics = None
         self._w_pinned: int | None = None
+
+    # table residency/streaming mirrors PairScorer (capacity ledger)
+    tables = PairScorer.tables
+    tvecs = PairScorer.tvecs
+    _place_tables = PairScorer._place_tables
+    release_tables = PairScorer.release_tables
+
+    def table_bytes(self) -> int:
+        return (self._tables_host.nbytes + self._tvecs_host.nbytes
+                + self.inner.table_bytes())
+
+    def set_streaming(self, on: bool) -> None:
+        self.stream_tables = on
+        self.inner.set_streaming(on)
 
     # metrics propagate to the inner scorer so wall buckets stay unified
     @property
@@ -1271,6 +1330,79 @@ class PackedPairScorer:
         return self.inner.paths_group_dispatch(items)
 
 
+def device_table_budget(devices=None) -> int:
+    """Device bytes available for RESIDENT profile tables.
+
+    DECIPHON_HBM_BUDGET overrides (bytes); otherwise the device's
+    reported memory limit minus a working reserve (kernel scratch,
+    code arrays, in-flight wave buffers — INFLIGHT_BYTES-scale), with a
+    16 GB default when the backend reports nothing (CPU, some tunnels).
+    """
+    import os as _os
+
+    env = _os.environ.get("DECIPHON_HBM_BUDGET")
+    if env:
+        return int(env)
+    import jax as _jax
+
+    devices = devices or _jax.local_devices()
+    limit = None
+    try:
+        stats = devices[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+    except Exception:
+        limit = None
+    if not limit:
+        limit = 16 << 30
+    reserve = max(int(limit * 0.25), 2 << 30)
+    return max(limit - reserve, 1 << 30)
+
+
+class HBMLedger:
+    """Capacity ledger for per-bucket table residency (the
+    DB-exceeds-HBM plan, round-4 verdict missing #1).
+
+    The reference's design point is a 32 x 4 GB database streamed from
+    disk through per-partition iterators (c-core/database_writer.c:14,
+    protein_reader.c:77-101); a realistic Pfam press overflows one
+    accelerator's HBM even before scratch.  The ledger assigns buckets
+    to RESIDENT device tables until the budget runs out; the remainder
+    STREAM host->device per wave (PairScorer.stream_tables), trading
+    upload bandwidth for unbounded database size instead of OOMing.
+    Biggest buckets stream first — their per-byte upload amortizes over
+    the most compute.
+    """
+
+    def __init__(self, budget_bytes: int):
+        self.budget = int(budget_bytes)
+        self.resident: list[tuple[int, int]] = []  # (scorer idx, bytes)
+        self.streamed: list[tuple[int, int]] = []
+
+    def plan(self, sizes: list[int]) -> list[bool]:
+        """sizes[i] = table bytes of scorer i; returns stream flags.
+        Deterministic: larger tables considered first, so small buckets
+        (the common-case hot mass) stay resident."""
+        order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+        left = self.budget
+        stream = [False] * len(sizes)
+        for i in order:
+            if sizes[i] <= left:
+                left -= sizes[i]
+                self.resident.append((i, sizes[i]))
+            else:
+                stream[i] = True
+                self.streamed.append((i, sizes[i]))
+        return stream
+
+    @property
+    def resident_bytes(self) -> int:
+        return sum(b for _, b in self.resident)
+
+    @property
+    def streamed_bytes(self) -> int:
+        return sum(b for _, b in self.streamed)
+
+
 class BucketedPairScorer:
     """Partitions profiles into core-size buckets, one PairScorer each.
 
@@ -1278,7 +1410,9 @@ class BucketedPairScorer:
     lane padding; real databases (Pfam: K from ~30 to ~2000+) would waste
     most of HBM and compute.  Buckets are powers of two over Kp, the
     TPU analog of the reference's contiguous protein partitions
-    (c-core/protein_reader.c:29-53).
+    (c-core/protein_reader.c:29-53).  A capacity ledger (HBMLedger)
+    decides per bucket whether tables stay device-resident or stream
+    per wave, so databases beyond one device's HBM still scan.
     """
 
     # Largest lane width whose (1364, Kp) f32 emission table plus the
@@ -1319,7 +1453,8 @@ class BucketedPairScorer:
 
     def __init__(self, costs_list: list[ViterbiCosts], interpret=False,
                  kappa: int | None = None,
-                 scorer_factory=None, w: int | None = None, devices=None):
+                 scorer_factory=None, w: int | None = None, devices=None,
+                 hbm_budget: int | None = None):
         from ..ops import viterbi_pallas as vp
 
         # devices (>1) selects the device-parallel scorer tier: identical
@@ -1424,6 +1559,26 @@ class BucketedPairScorer:
             else:
                 self.scorers.append(factory(costs))
 
+        # capacity ledger: resident vs streamed tables per bucket; with
+        # a mesh, tables replicate, so ONE device's budget still bounds
+        # residency (profile-axis spreading is the streamed tier's job)
+        sizes = [s.table_bytes() if hasattr(s, "table_bytes") else 0
+                 for s in self.scorers]
+        self.ledger = HBMLedger(hbm_budget if hbm_budget is not None
+                                else device_table_budget(devices))
+        for si, stream in enumerate(self.ledger.plan(sizes)):
+            if stream and hasattr(self.scorers[si], "set_streaming"):
+                self.scorers[si].set_streaming(True)
+        if self.ledger.streamed:
+            from ..logging import get_logger
+
+            get_logger("deciphon_tpu.scan").warning(
+                "profile tables exceed the device budget: %d/%d buckets "
+                "(%.2f GB of %.2f GB) stream host->device per wave",
+                len(self.ledger.streamed), len(self.scorers),
+                self.ledger.streamed_bytes / 2**30,
+                self.ledger.budget / 2**30)
+
     def set_device_codes(self, dev_codes) -> None:
         for s in self.scorers:
             if hasattr(s, "set_device_codes"):
@@ -1457,6 +1612,11 @@ class BucketedPairScorer:
                 else:
                     # sub-scorer without async dispatch: score eagerly
                     pending.append((scorer, None, scorer.score(group)))
+                if hasattr(scorer, "release_tables"):
+                    # streamed buckets drop their device tables now: the
+                    # enqueued wave holds runtime references, so HBM
+                    # frees as the wave drains (capacity ledger)
+                    scorer.release_tables()
         finally:
             for it in items:  # restore global indices
                 it.p_idx = remap[id(it)]
