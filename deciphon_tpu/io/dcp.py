@@ -147,17 +147,44 @@ def _pack_nuclt_dist(packer, nuclt_lprobs: np.ndarray,
 
 
 class DcpWriter:
-    """Streams pressed profiles into a .dcp file, reference byte layout."""
+    """Streams pressed profiles into a .dcp file, reference byte layout.
 
-    def __init__(self, path: str, entry_dist: int, epsilon: float):
+    Proteins stage through ROTATING temp chunk files of `split_size`
+    bytes (the reference's 32 x 4 GB chunked writer,
+    c-core/database_writer.c:14,201-207): memory stays bounded at one
+    protein blob regardless of database size, and no single temp file
+    outgrows filesystems with per-file limits.  The chunks concatenate
+    into the final file at close, so the byte layout is identical to an
+    unchunked write.
+    """
+
+    SPLIT_SIZE = 4 << 30  # database_writer.c:14 SPLIT_SIZE (4 GB)
+    MAX_CHUNKS = 32  # database_writer.h DATABASE_WRITER_CHUNKS
+
+    def __init__(self, path: str, entry_dist: int, epsilon: float,
+                 split_size: int | None = None):
         self.path = path
         self.entry_dist = entry_dist
         self.epsilon = epsilon
         self.has_ga = False
         self.sizes: list[int] = []
-        self._tmp_path = path + ".proteins.tmp"
-        self._tmp = open(self._tmp_path, "wb")
+        self.split_size = split_size or self.SPLIT_SIZE
+        self._chunk_paths: list[str] = []
+        self._tmp = None
+        self._rotate()
         self._packer = msgpack.Packer(use_single_float=True, autoreset=True)
+
+    def _rotate(self) -> None:
+        if self._tmp is not None:
+            self._tmp.close()
+        if len(self._chunk_paths) >= self.MAX_CHUNKS:
+            raise DcpFormatError(
+                f"database exceeds {self.MAX_CHUNKS} chunks of "
+                f"{self.split_size} bytes (the reference's "
+                f"32 x 4 GB writer limit, database_writer.c:14)")
+        p = f"{self.path}.proteins.{len(self._chunk_paths)}.tmp"
+        self._chunk_paths.append(p)
+        self._tmp = open(p, "wb")
 
     def set_has_ga(self, has_ga: bool) -> None:
         self.has_ga = has_ga
@@ -166,6 +193,10 @@ class DcpWriter:
         blob = pack_protein(self._packer, p)
         self.sizes.append(len(blob))
         self._tmp.write(blob)
+        # rotate AFTER crossing the split, exactly like the reference
+        # (database_writer.c:201-207 checks the tell after the write)
+        if self._tmp.tell() >= self.split_size:
+            self._rotate()
 
     def close(self) -> str:
         self._tmp.close()
@@ -194,13 +225,15 @@ class DcpWriter:
                 fp.write(pk.pack(s))
             fp.write(pk.pack("proteins"))
             fp.write(pk.pack_array_header(len(self.sizes)))
-            with open(self._tmp_path, "rb") as tmp:
-                while True:
-                    chunk = tmp.read(1 << 22)
-                    if not chunk:
-                        break
-                    fp.write(chunk)
-        os.unlink(self._tmp_path)
+            for cp in self._chunk_paths:
+                with open(cp, "rb") as tmp:
+                    while True:
+                        chunk = tmp.read(1 << 22)
+                        if not chunk:
+                            break
+                        fp.write(chunk)
+        for cp in self._chunk_paths:
+            os.unlink(cp)
         return self.path
 
 

@@ -141,3 +141,41 @@ def test_minifam_profiles_sane(minifam_dcp):
             p.match_emission[0].astype(np.float64))
         assert total == pytest.approx(0.0, abs=1e-4)
         assert np.all(p.BMk <= 0.0)
+
+
+def test_chunked_writer_byte_identical(minifam_dcp, tmp_path):
+    """The rotating temp-chunk writer (reference 32 x 4 GB design,
+    database_writer.c:14,201-207): a split size small enough to force
+    one chunk PER PROTEIN must produce a byte-identical .dcp, with
+    bounded per-chunk staging."""
+    from deciphon_tpu.io.dcp import DcpFormatError, DcpWriter
+
+    _, profiles = read_dcp_profiles(minifam_dcp)
+
+    def write(path, split):
+        w = DcpWriter(str(path), entry_dist=1, epsilon=0.01,
+                      split_size=split)
+        w.set_has_ga(all(p.has_ga for p in profiles))
+        nchunks = 1
+        for p in profiles:
+            w.pack_profile(p)
+            nchunks = len(w._chunk_paths)
+        w.close()
+        return nchunks
+
+    plain = tmp_path / "plain.dcp"
+    chunked = tmp_path / "chunked.dcp"
+    assert write(plain, None) == 1
+    assert write(chunked, 1) >= len(profiles)  # rotated per protein
+    assert plain.read_bytes() == chunked.read_bytes()
+    # the rotated write still round-trips
+    _, back = read_dcp_profiles(str(chunked))
+    assert [p.accession for p in back] == [p.accession for p in profiles]
+
+    # chunk-count ceiling errors loudly instead of silently overflowing
+    w = DcpWriter(str(tmp_path / "over.dcp"), 1, 0.01, split_size=1)
+    w.MAX_CHUNKS = 3
+    w.pack_profile(profiles[0])
+    w.pack_profile(profiles[1])
+    with pytest.raises(DcpFormatError, match="chunks"):
+        w.pack_profile(profiles[2])
