@@ -51,6 +51,9 @@ class ScanMetrics:
     wasted_windows: int = 0  # speculated windows discarded by hit rewinds
     started: float = field(default_factory=time.perf_counter)
     walls: dict = field(default_factory=dict)
+    # sync-debug only: per-bucket (true_cells, padded_cells, dispatches) —
+    # the fill diagnostic that localizes padding waste per kernel tier
+    bucket_cells: dict = field(default_factory=dict)
 
     def add_window(self, length: int, core_size: int) -> None:
         self.windows_scored += 1
@@ -58,6 +61,11 @@ class ScanMetrics:
 
     def add_wall(self, phase: str, dt: float) -> None:
         self.walls[phase] = self.walls.get(phase, 0.0) + dt
+
+    def add_bucket_cells(self, name: str, true_cells: int,
+                         padded_cells: int) -> None:
+        t, p, n = self.bucket_cells.get(name, (0, 0, 0))
+        self.bucket_cells[name] = (t + true_cells, p + padded_cells, n + 1)
 
     @contextmanager
     def timed(self, phase: str):

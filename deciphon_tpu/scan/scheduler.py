@@ -428,6 +428,7 @@ class PairScorer:
         pairs = [vp.build_tables(c, Kp) for c in costs_list]
         self._tables_host = np.stack([t for t, _ in pairs])
         self._tvecs_host = np.stack([v for _, v in pairs])
+        self._Ks = np.array([c.K for c in costs_list], np.int64)
         self._tables_cache = None
         # Streamed-table mode (the DB-exceeds-HBM tier, set by the
         # BucketedPairScorer's capacity ledger): emission tables live on
@@ -583,38 +584,46 @@ class PairScorer:
             pre.setdefault(it.p_idx, []).append(it)
 
         if self._chain_pin is None:
-            # pin (cap, cmax, w) for the scan from the first wave: LPT
-            # into w slots unbounded, then cap = the max slot load seen
-            # (>= the longest single chainable window, so same-length
-            # waves always repack into the same shape).  Over-cap
-            # windows are excluded — they ride the classic fallback.
+            # Pin (cap, cmax, w) for the scan from the first wave.  The
+            # kernel's in-block skip makes blocks past each GROUP's
+            # longest slot free, so the cost of a group is
+            # maxslot * w * Kp — one outlier window (e.g. a 17 knt
+            # consensus read among 10 knt reads) in a slot inflates the
+            # whole group's live compute.  The pin therefore targets the
+            # COMMON window mass: cap = the NLB rung covering the p90
+            # window size, and anything longer rides the classic rung
+            # buckets (round-5 fill measurement: the old max-load pin set
+            # cap ~2x the mean slot load, halving live fill).
             chainable = [it for it in items
                          if blk(it) <= self.CHAIN_MAX_BLK]
             if not chainable:
                 return self._dispatch_classic(items)
-            pre = {}
+            blks = np.sort(np.array([blk(it) for it in chainable]))
+            p90 = int(blks[min(len(blks) - 1, (len(blks) * 9) // 10)])
+            cap = quantize_nlb(max(p90, self.NLB_FLOOR))
+            maxblk = cap  # admission bound: windows > cap go classic
+            admitted = {}
             for it in chainable:
-                pre.setdefault(it.p_idx, []).append(it)
-            maxblk = max(blk(it) for it in chainable)
-            bmax = max(sum(blk(it) for it in g) for g in pre.values())
-            nslots = -(-bmax // max(maxblk, 1))
+                if blk(it) <= cap:
+                    admitted.setdefault(it.p_idx, []).append(it)
+            bmax = max(sum(blk(it) for it in g)
+                       for g in admitted.values())
+            nslots = -(-bmax // cap)
             w_c = max(8, min(self.w, next_pow2(max(nslots, 1))))
-            cap = cmax = 0
-            for g in pre.values():
+            cmax = 0
+            for g in admitted.values():
                 wins = sorted(((it, blk(it)) for it in g),
                               key=lambda x: (-x[1], x[0].s_idx,
                                              x[0].win.idx))
-                for slot, load in self._lpt_pack(wins, w_c, float("inf"),
-                                                 float("inf")):
-                    cap = max(cap, load)
+                for slot, _load in self._lpt_pack(wins, w_c, cap,
+                                                  float("inf")):
                     cmax = max(cmax, len(slot))
-            cap = max(cap, self.NLB_FLOOR)
             # cmax bounds the chain-gather overfetch (cmax * maxblk
-            # source rows fetched per cap-block slot): clamp it so the
-            # gather never overfetches more than ~4x; deeper chains
-            # split into extra slots at dispatch (wider fill, same work)
-            cmax = min(next_pow2(cmax),
-                       next_pow2(max(1, 4 * cap // max(maxblk, 1))))
+            # source rows fetched per cap-block slot); with maxblk == cap
+            # a 4-deep chain already overfetches 4x, so clamp there.
+            # Deeper chains split into extra slots at dispatch (wider
+            # fill, same work).
+            cmax = min(next_pow2(max(cmax, 1)), 4)
             self._chain_pin = (cap, max(cmax, 1), w_c, maxblk)
         cap, cmax, w_c, maxblk = self._chain_pin
 
@@ -630,6 +639,13 @@ class PairScorer:
         # slots can be filled with normal windows (very deep scans).
         use_seg = os.environ.get("DECIPHON_CHAIN_SEG", "").lower() \
             in ("1", "true")
+        # Windows between the chain cap and CHAIN_MAX_BLK (outliers the
+        # p90 pin excluded) ride the classic rung buckets; anything past
+        # CHAIN_MAX_BLK (long-read windowing) rides the mixed-profile
+        # gang, which packs the few long windows of EVERY profile into
+        # one wide group (measured round 5: the gang's slot fill beats
+        # per-profile classic groups ~2x for the 21-100 knt windows even
+        # though its HBM-streamed table is slower per padded cell).
         seg_wins: dict[int, list[PairItem]] = {}
         gang_items: list[PairItem] = []
         for it in items:
@@ -637,7 +653,9 @@ class PairScorer:
             if self._xt_index(it) is None:
                 fallback.append(it)
             elif b > maxblk:
-                if use_seg:
+                if b <= self.CHAIN_MAX_BLK:
+                    fallback.append(it)
+                elif use_seg:
                     seg_wins.setdefault(it.p_idx, []).append(it)
                 else:
                     gang_items.append(it)
@@ -793,10 +811,23 @@ class PairScorer:
                 if _sync_debug():
                     np.asarray(alt).sum()
                     Kp = self._tables_host.shape[2]
-                    m.add_wall(
-                        f"bkt_chain{'seg' if is_seg else ''}_kp{Kp}"
-                        f"_cap{cap}_n{N}_w{w_c}",
-                        time.perf_counter() - t2)
+                    name = (f"bkt_chain{'seg' if is_seg else ''}_kp{Kp}"
+                            f"_cap{cap}_n{N}_w{w_c}")
+                    m.add_wall(name, time.perf_counter() - t2)
+                    true = int((wlen.sum(axis=(1, 2)).astype(np.int64)
+                                * 5 * self._Ks[pidx]).sum())
+                    m.add_bucket_cells(name, true,
+                                       N * w_c * cap * kappa * 5 * Kp)
+                    if os.environ.get("DECIPHON_FILL_DEBUG"):
+                        blocks = -(-wlen // kappa)
+                        slot_blocks = blocks.sum(axis=2)
+                        print(f"FILL {name}: groups={len(chunk)}/{N} "
+                              f"slots_used={int((slot_blocks > 0).sum())}"
+                              f"/{N * w_c} "
+                              f"blocks={int(blocks.sum())}"
+                              f"/{N * w_c * cap} "
+                              f"maxslot={int(slot_blocks.max())}",
+                              flush=True)
             nbytes = N * cap * kappa * 5 * w_c * 4
             inflight.append((_ChainChunk(groups), alt, nul, nbytes))
             inflight_bytes += nbytes
@@ -865,9 +896,13 @@ class PairScorer:
                     if _sync_debug():
                         np.asarray(alt).sum()
                         Kp = self._tables_host.shape[2]
-                        m.add_wall(
-                            f"bkt_gang_kp{Kp}_nlb{nlb}_n{N}_w{wg}",
-                            time.perf_counter() - t2)
+                        name = f"bkt_gang_kp{Kp}_nlb{nlb}_n{N}_w{wg}"
+                        m.add_wall(name, time.perf_counter() - t2)
+                        true = int((lens[:, :, 0].astype(np.int64) * 5
+                                    * self._Ks[pidx]).sum())
+                        m.add_bucket_cells(
+                            name, true,
+                            N * wg * nlb * self.kappa * 5 * Kp)
                 nbytes = N * nlb * self.kappa * 5 * wg * 4
                 entries.append((_Bucket(nlb=nlb, groups=chunk, w=wg),
                                 alt, nul, nbytes))
@@ -965,11 +1000,18 @@ class PairScorer:
                 if _sync_debug():
                     np.asarray(alt).sum()
                     Kp = self._tables_host.shape[2]
-                    m.add_wall(
-                        f"bkt_kp{Kp}_nlb{bucket.nlb}_n{len(pidx)}"
-                        f"_w{bucket.w}"
-                        + ("_hbm" if self.hbm_table else ""),
-                        time.perf_counter() - t2)
+                    name = (f"bkt_kp{Kp}_nlb{bucket.nlb}_n{len(pidx)}"
+                            f"_w{bucket.w}"
+                            + ("_hbm" if self.hbm_table else ""))
+                    m.add_wall(name, time.perf_counter() - t2)
+                    lens_np = np.asarray(lens)
+                    true = int((lens_np.reshape(len(pidx), -1)
+                                .sum(axis=1).astype(np.int64)
+                                * 5 * self._Ks[np.asarray(pidx)]).sum())
+                    m.add_bucket_cells(
+                        name, true,
+                        len(pidx) * bucket.w * bucket.nlb
+                        * self.kappa * 5 * Kp)
             nbytes = len(pidx) * bucket.nlb * self.kappa * 5 * bucket.w * 4
             inflight.append((bucket, alt, nul, nbytes))
             inflight_bytes += nbytes
@@ -1157,6 +1199,10 @@ class PackedPairScorer:
         self.Kp = self.seg * nseg
         assert self.Kp % 128 == 0, (self.seg, nseg)
         npack = -(-len(costs_list) // nseg)
+        # per-pack true-K sums (fill diagnostics in sync-debug mode)
+        self._pack_ksum = np.array(
+            [sum(c.K for c in costs_list[i * nseg:(i + 1) * nseg])
+             for i in range(npack)], np.int64)
         pairs = [vp.build_tables_packed(
             costs_list[i * nseg:(i + 1) * nseg], self.seg, nseg)
             for i in range(npack)]
@@ -1269,10 +1315,15 @@ class PackedPairScorer:
                     m.add_wall("dispatch", t2 - t1)
                     if _sync_debug():
                         np.asarray(alt).sum()
-                        m.add_wall(
-                            f"bkt_packed_kp{self.Kp}_s{self.nseg}"
-                            f"_nlb{nlb}_n{N}_w{w}",
-                            time.perf_counter() - t2)
+                        name = (f"bkt_packed_kp{self.Kp}_s{self.nseg}"
+                                f"_nlb{nlb}_n{N}_w{w}")
+                        m.add_wall(name, time.perf_counter() - t2)
+                        true = int((lens[:, :, 0].astype(np.int64) * 5
+                                    * self._pack_ksum[pidx][:, None])
+                                   .sum())
+                        m.add_bucket_cells(
+                            name, true,
+                            N * w * nlb * self.kappa * 5 * self.Kp)
                 nbytes = N * nlb * self.kappa * 5 * w * 4
                 inflight.append((chunk, alt, nul, nbytes))
                 inflight_bytes += nbytes
