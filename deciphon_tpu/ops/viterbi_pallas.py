@@ -1961,11 +1961,23 @@ def build_tables_packed(costs_list: list[ViterbiCosts], seg: int,
 
 
 def _kernel_pending_packed(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
-                           alt_ref, null_ref,
-                           MA, PM, PI, PSM, ST, SS, Tfin, Rfin, *,
-                           kappa, Kp, nseg, nlb_dim, w=W):
+                           *refs, kappa, Kp, nseg, nlb_dim, w=W,
+                           chain=False):
     """Segment-packed variant of _kernel_pending (same recurrence; see the
-    section comment above for the packed layout)."""
+    section comment above for the packed layout).
+
+    Chain mode mirrors _kernel_pending's: each sublane slot carries a
+    back-to-back window chain (the SAME chain for every segment — packs
+    score one window against all NSEG profiles at once), xt/len become
+    per-block slot vectors, reset_ref reseeds a slot's DP at its
+    windows' first blocks, and outputs land per (pair, block, slot,
+    segment) for the caller's end-block compaction."""
+    if chain:
+        (reset_ref, alt_ref, null_ref,
+         MA, PM, PI, PSM, ST, SS, Tfin, Rfin) = refs
+    else:
+        (alt_ref, null_ref,
+         MA, PM, PI, PSM, ST, SS, Tfin, Rfin) = refs
     W = w
     S = nseg
     seg = Kp // S
@@ -1973,7 +1985,9 @@ def _kernel_pending_packed(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (W, Kp), 1)
     lane_seg = jax.lax.rem(lane2, seg)
     seg_id = lane2 // seg
-    xt = xt_ref[0]  # (W, 16); shared per slot (same window, same length)
+    # xt/lens shared across a slot's segments (same window, same length)
+    xt = xt_ref[0, 0] if chain else xt_ref[0]  # (W, 16)
+    lens = len_ref[0, 0] if chain else len_ref[0]  # (W, 1)
 
     def xtc(j):  # (W, 1) broadcasts against the (W, S) specials
         return xt[:, j:j + 1]
@@ -2001,14 +2015,39 @@ def _kernel_pending_packed(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
         PSM[...] = jnp.full((4, 5, W, S), INF)
         ST[...] = jnp.full((3, W, Kp), INF)
         inf_ws = jnp.full((W, S), INF)
-        SS[...] = jnp.stack([
-            jnp.zeros((W, S)),  # S_0 = 0
-            jnp.broadcast_to(xtc(XT_SB), (W, S)),  # B_0
-            inf_ws, inf_ws, inf_ws, inf_ws,  # N J C E
-            jnp.broadcast_to(-xtc(XT_RR), (W, S)),  # R_0
-        ])
+        if chain:
+            # seeds come from the per-slot reseed below (slot windows
+            # start at arbitrary blocks); pad slots stay +inf forever
+            SS[...] = jnp.full((7, W, S), INF)
+        else:
+            SS[...] = jnp.stack([
+                jnp.zeros((W, S)),  # S_0 = 0
+                jnp.broadcast_to(xtc(XT_SB), (W, S)),  # B_0
+                inf_ws, inf_ws, inf_ws, inf_ws,  # N J C E
+                jnp.broadcast_to(-xtc(XT_RR), (W, S)),  # R_0
+            ])
         Tfin[...] = inf_ws
         Rfin[...] = inf_ws
+
+    if chain:
+        rs = reset_ref[0, 0] > 0  # (W, 1) slots starting a window here
+
+        @pl.when(jnp.max(reset_ref[0, 0]) > 0)
+        def _reseed():
+            PM[...] = jnp.where(rs[None], INF, PM[...])
+            PI[...] = jnp.where(rs[None], INF, PI[...])
+            PSM[...] = jnp.where(rs[None, None], INF, PSM[...])
+            ST[...] = jnp.where(rs[None], INF, ST[...])
+            inf_ws = jnp.full((W, S), INF)
+            seeds = jnp.stack([
+                jnp.zeros((W, S)),  # S_0 = 0
+                jnp.broadcast_to(xtc(XT_SB), (W, S)),  # B_0
+                inf_ws, inf_ws, inf_ws, inf_ws,  # N J C E
+                jnp.broadcast_to(-xtc(XT_RR), (W, S)),  # R_0
+            ])
+            SS[...] = jnp.where(rs[None], seeds, SS[...])
+            Tfin[...] = jnp.where(rs, INF, Tfin[...])
+            Rfin[...] = jnp.where(rs, INF, Rfin[...])
 
     def phase(i, r, sm, si, sd, ss):
         l = nlb * kappa + 5 * i + r + 1
@@ -2070,7 +2109,7 @@ def _kernel_pending_packed(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
                           J_l + xtc(XT_JB))
         T_l = jnp.minimum(E_l + xtc(XT_ET), C_l + xtc(XT_CT))
 
-        at_end = len_ref[0] == l  # (W, 1): length shared across segments
+        at_end = lens == l  # (W, 1): length shared across segments
         Tfin[...] = jnp.where(at_end, T_l, Tfin[...])
         Rfin[...] = jnp.where(at_end, R_l, Rfin[...])
 
@@ -2090,8 +2129,10 @@ def _kernel_pending_packed(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
         return 0
 
     # skip blocks past the longest window (see _kernel_pending): all-pad
-    # pairs and trailing rung-quantization blocks cost no vector work
-    @pl.when(nlb * kappa < jnp.max(len_ref[0]))
+    # pairs and trailing rung-quantization blocks cost no vector work;
+    # in chain mode `lens` is per-block so under-filled chains' trailing
+    # blocks skip the same way
+    @pl.when(nlb * kappa < jnp.max(lens))
     def _run():
         jax.lax.fori_loop(0, kappa // 5, macro_step, 0)
 
@@ -2163,6 +2204,128 @@ def _scores_pairs_packed_core(pidx, tables, tvecs, xts, lengths, codes, *,
 
 _scores_pairs_packed_jit = functools.partial(jax.jit, static_argnames=(
     "kappa", "nseg", "interpret"))(_scores_pairs_packed_core)
+
+
+def _scores_pairs_packed_chain_core(pidx, tables, tvecs, xts, lengths,
+                                    resets, codes, *, kappa, nseg,
+                                    interpret):
+    """Chained packed pairs kernel call (see _scores_pairs_chain_core).
+
+    xts (N, NLB, W, 16) f32; lengths/resets (N, NLB, W, 1) i32;
+    codes (N, NLB, kappa, 5, W) i32 START-indexed; tables
+    (NPACK, 1364, 2*Kp+PACK_PAD) packed rows.  Returns (alt, nul):
+    (N, NLB, W, NSEG) f32 per-block latched costs."""
+    _, _, Kp = tvecs.shape
+    Wt = tables.shape[2]
+    NPAIR, NLB = codes.shape[0], codes.shape[1]
+    W = codes.shape[4]
+    S = nseg
+    if kappa % 5:
+        raise ValueError("pending mode requires kappa % 5 == 0")
+    inner = functools.partial(_kernel_pending_packed, kappa=kappa, Kp=Kp,
+                              nseg=nseg, nlb_dim=1, w=W, chain=True)
+
+    def kernel(pidx_ref, *rest):
+        inner(*rest)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NPAIR, NLB),
+        in_specs=[
+            pl.BlockSpec((1, 1, kappa, 5, W),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TABLE_SIZE, Wt),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Kp),
+                         lambda pair, nlb, pidx: (pidx[pair], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 16),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 1),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 1),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, W, S),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, S),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, W, Wt), jnp.float32),  # MA gather staging
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # PM pending M
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # PI pending I
+            pltpu.VMEM((4, 5, W, S), jnp.float32),  # PSM pending N J C R
+            pltpu.VMEM((3, W, Kp), jnp.float32),  # ST prev M/I/D
+            pltpu.VMEM((7, W, S), jnp.float32),  # SS prev specials
+            pltpu.VMEM((W, S), jnp.float32),  # T final
+            pltpu.VMEM((W, S), jnp.float32),  # R final
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((NPAIR, NLB, W, S), jnp.float32),
+        jax.ShapeDtypeStruct((NPAIR, NLB, W, S), jnp.float32),
+    ]
+    alt, nul = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(pidx, codes, tables, tvecs, xts, lengths, resets)
+    return alt, nul
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kappa", "nlb", "maxblk", "nseg",
+                                    "interpret"))
+def _chained_scores_packed_jit(pidx, tables, tvecs, win_sblk, win_len,
+                               win_gstart, win_xti, xt_lut, codes_all, *,
+                               kappa, nlb, maxblk, nseg, interpret):
+    """Packed-plane chained scoring: _chain_expand's metadata contract,
+    outputs (N, W, C, NSEG) — chain window c of slot w scored against
+    each of the pack's NSEG profiles."""
+    xts_k, lens_k, rs_k, ck, end_blk = _chain_expand(
+        win_sblk, win_len, win_gstart, win_xti, xt_lut, codes_all,
+        kappa=kappa, nlb=nlb, maxblk=maxblk)
+    alt, nul = _scores_pairs_packed_chain_core(
+        pidx, tables, tvecs, xts_k, lens_k, rs_k, ck,
+        kappa=kappa, nseg=nseg, interpret=interpret)
+    # compact by end block, keeping the segment axis: (N, NLB, W, S) ->
+    # (N, W, S, NLB) -> take each window's final block -> (N, W, C, S)
+    eb = jnp.clip(end_blk - 1, 0, nlb - 1)  # (N, W, C)
+    C = eb.shape[2]
+    S = alt.shape[3]
+    ebx = jnp.broadcast_to(eb[:, :, None, :],
+                           (eb.shape[0], eb.shape[1], S, C))
+    alt_w = jnp.take_along_axis(alt.transpose(0, 2, 3, 1), ebx, axis=3)
+    nul_w = jnp.take_along_axis(nul.transpose(0, 2, 3, 1), ebx, axis=3)
+    return alt_w.transpose(0, 1, 3, 2), nul_w.transpose(0, 1, 3, 2)
+
+
+def viterbi_scores_pairs_packed_chained(pidx, tables, tvecs, win_sblk,
+                                        win_len, win_gstart, win_xti,
+                                        xt_lut, codes_all, *, nlb, nseg,
+                                        maxblk=None, kappa=None,
+                                        interpret=False):
+    """Score NPAIR (profile-PACK, slot-chain-group) pairs: W slots of up
+    to C chained windows each, every window scored against the pack's
+    NSEG profiles at once.  Returns (alt, nul): (N, W, C, NSEG); scores
+    are bit-exact vs viterbi_scores_pairs_packed on the same windows."""
+    kappa, mode, _ = _resolve(kappa, "pending", None)
+    assert mode == "pending"
+    return _chained_scores_packed_jit(
+        pidx, tables, tvecs, win_sblk, win_len, win_gstart, win_xti,
+        xt_lut, codes_all, kappa=kappa, nlb=nlb,
+        maxblk=nlb if maxblk is None else maxblk, nseg=nseg,
+        interpret=interpret)
 
 
 @functools.partial(jax.jit,

@@ -90,6 +90,27 @@ def _scores_chained_shmap(mesh: Mesh, kappa: int, nlb: int, maxblk: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _scores_packed_chained_shmap(mesh: Mesh, kappa: int, nlb: int,
+                                 maxblk: int, nseg: int, interpret: bool):
+    """Mesh-jitted packed-chained phase-1 wave (the round-5 unified
+    small/mid-K tier): pack-group dim sharded, pack tables/LUT/codes
+    replicated."""
+    from ..ops import viterbi_pallas as vp
+
+    def fn(pidx, tables, tvecs, sblk, wlen, gst, xti, lut, codes_all):
+        return vp.viterbi_scores_pairs_packed_chained(
+            pidx, tables, tvecs, sblk, wlen, gst, xti, lut, codes_all,
+            nlb=nlb, maxblk=maxblk, nseg=nseg, kappa=kappa,
+            interpret=interpret)
+
+    sh, rep = P(MESH_AXIS), P()
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(sh, rep, rep, sh, sh, sh, sh, rep, rep),
+        out_specs=(sh, sh), check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
 def _scores_packed_shmap(mesh: Mesh, kappa: int, nlb: int, nseg: int,
                          interpret: bool):
     """Mesh-jitted lane-packed phase-1 wave: pack-group dim sharded,
@@ -322,14 +343,14 @@ class MultiDevicePackedScorer(PackedPairScorer):
     def __init__(self, costs_list, nseg: int, mesh: Mesh | None = None,
                  devices=None, interpret: bool = False,
                  kappa: int | None = None, w: int | None = None,
-                 inner_w: int | None = None):
+                 inner_w: int | None = None, seg: int | None = None):
         if mesh is None:
             mesh = make_mesh(devices)
         self.mesh = mesh
         self.ndev = int(mesh.devices.size)
         super().__init__(
-            costs_list, nseg=nseg, interpret=interpret, kappa=kappa, w=w,
-            inner_w=inner_w,
+            costs_list, nseg=nseg, seg=seg, interpret=interpret,
+            kappa=kappa, w=w, inner_w=inner_w,
             inner_factory=functools.partial(MultiDevicePairScorer,
                                             mesh=mesh))
     def _place_tables(self):
@@ -360,3 +381,27 @@ class MultiDevicePackedScorer(PackedPairScorer):
         return fn(jax.device_put(pidx, sh), self.tables, self.tvecs,
                   jax.device_put(xts, sh), jax.device_put(lens, sh),
                   jax.device_put(starts, sh), self.dev_codes.dev)
+
+    def _invoke_scores_packed_chained(self, pidx, sblk, wlen, gst, xti,
+                                      cap, maxblk):
+        n = pidx.shape[0]
+        npad = -(-n // self.ndev) * self.ndev - n
+        if npad:
+            # pad pack-groups to the mesh size; pad groups carry zero
+            # window lengths so no block is ever active on them
+            pidx = np.pad(pidx, ((0, npad),))
+            sblk = np.pad(sblk, ((0, npad), (0, 0), (0, 0)))
+            wlen = np.pad(wlen, ((0, npad), (0, 0), (0, 0)))
+            gst = np.pad(gst, ((0, npad), (0, 0), (0, 0)))
+            xti = np.pad(xti, ((0, npad), (0, 0), (0, 0)))
+        sh = NamedSharding(self.mesh, P(MESH_AXIS))
+        rep = NamedSharding(self.mesh, P())
+        if getattr(self._xt_lut_dev, "sharding", None) != rep:
+            self._xt_lut_dev = jax.device_put(self._xt_lut_dev, rep)
+        fn = _scores_packed_chained_shmap(
+            self.mesh, self.kappa, int(cap), int(maxblk), self.nseg,
+            self.interpret)
+        return fn(jax.device_put(pidx, sh), self.tables, self.tvecs,
+                  jax.device_put(sblk, sh), jax.device_put(wlen, sh),
+                  jax.device_put(gst, sh), jax.device_put(xti, sh),
+                  self._xt_lut_dev, self.dev_codes.dev)

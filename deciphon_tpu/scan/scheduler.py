@@ -47,6 +47,19 @@ def next_pow2(n: int) -> int:
     return p
 
 
+def _mass_p90(sorted_blks: np.ndarray) -> int:
+    """Smallest window size covering >= 90% of total BLOCK mass.
+
+    The chain cap must cover the windows that carry the compute, not the
+    windows that are numerous: a COUNT percentile pinned the cap below
+    the dominant window size whenever many short consensus reads shared
+    a wave with fewer long read-sized windows (round 5, measured), which
+    pushed the main mass onto the classic fallback."""
+    cum = np.cumsum(sorted_blks)
+    i = int(np.searchsorted(cum, 0.9 * cum[-1]))
+    return int(sorted_blks[min(i, len(sorted_blks) - 1)])
+
+
 # Geometric ladder for padded l-block counts: ratio ~1.25 bounds padding
 # waste at 25% (power-of-two padding wasted up to 2x compute on long
 # windows) while keeping the compiled-shape space small — 37 rungs cover
@@ -214,6 +227,16 @@ class _ChainChunk:
     (N, W, C) arrays indexed the same way)."""
 
     groups: list  # [gi][wi] -> list[PairItem]
+
+
+@dataclass
+class _PackedChainChunk:
+    """Result-mapping for one packed-chained kernel call:
+    groups[gi][wi][ci] is the [(segment, item), ...] fan-out of chain
+    window ci of slot wi of pack-group gi (scores come back as
+    (N, W, C, NSEG) arrays)."""
+
+    groups: list  # [gi][wi][ci] -> list[(segment, PairItem)]
 
 
 # Groups per kernel call: full chunks use this fixed leading dim (one
@@ -599,8 +622,7 @@ class PairScorer:
             if not chainable:
                 return self._dispatch_classic(items)
             blks = np.sort(np.array([blk(it) for it in chainable]))
-            p90 = int(blks[min(len(blks) - 1, (len(blks) * 9) // 10)])
-            cap = quantize_nlb(max(p90, self.NLB_FLOOR))
+            cap = quantize_nlb(max(_mass_p90(blks), self.NLB_FLOOR))
             maxblk = cap  # admission bound: windows > cap go classic
             admitted = {}
             for it in chainable:
@@ -1175,6 +1197,8 @@ class PackedPairScorer:
 
     NLB_FLOOR = PairScorer.NLB_FLOOR
     INFLIGHT_BYTES = PairScorer.INFLIGHT_BYTES
+    XT_LUT_CAP = PairScorer.XT_LUT_CAP
+    CHAIN_MAX_BLK = PairScorer.CHAIN_MAX_BLK
     hbm_table = False
 
     # Group width per packed plane, COMPILE-VERIFIED on TPU v5e (an
@@ -1187,7 +1211,7 @@ class PackedPairScorer:
     def __init__(self, costs_list: list[ViterbiCosts], nseg: int,
                  interpret=False, kappa: int | None = None,
                  w: int | None = None, inner_w: int | None = None,
-                 inner_factory=None):
+                 inner_factory=None, seg: int | None = None):
         import jax.numpy as jnp
 
         from ..ops import viterbi_pallas as vp
@@ -1195,7 +1219,8 @@ class PackedPairScorer:
         self._vp = vp
         self.kappa, self.mode, _ = vp._resolve(kappa, "pending", None)
         self.nseg = nseg
-        self.seg = max(vp.round_up(c.K + 2, 64) for c in costs_list)
+        self.seg = seg if seg is not None else max(
+            vp.round_up(c.K + 2, 64) for c in costs_list)
         self.Kp = self.seg * nseg
         assert self.Kp % 128 == 0, (self.seg, nseg)
         npack = -(-len(costs_list) // nseg)
@@ -1220,6 +1245,12 @@ class PackedPairScorer:
         self.dev_codes = None
         self._metrics = None
         self._w_pinned: int | None = None
+        # chained packed planes (round-5 unified small-K tier): same
+        # xtrans-LUT + (cap, cmax, w) pin machinery as PairScorer
+        self._xt_lut = np.zeros((self.XT_LUT_CAP, 16), np.float32)
+        self._xt_lut_idx: dict = {}
+        self._xt_lut_dev = None
+        self._chain_pin: tuple[int, int, int, int] | None = None
 
     # table residency/streaming mirrors PairScorer (capacity ledger)
     tables = PairScorer.tables
@@ -1245,9 +1276,15 @@ class PackedPairScorer:
         self._metrics = m
         self.inner.metrics = m
 
+    _xt_index = PairScorer._xt_index
+    _lpt_pack = staticmethod(PairScorer._lpt_pack)
+
     def set_device_codes(self, dev_codes) -> None:
         self.dev_codes = dev_codes
         self._w_pinned = None
+        self._xt_lut_idx.clear()
+        self._xt_lut_dev = None
+        self._chain_pin = None
         self.inner.set_device_codes(dev_codes)
 
     def dispatch(self, items: list[PairItem]) -> list:
@@ -1259,10 +1296,149 @@ class PackedPairScorer:
                 packed.append(it)
             else:
                 rest.append(it)
+        if packed and PairScorer.CHAIN:
+            packed, chained = self._dispatch_packed_chained(packed)
+            rest = rest + packed
+            inflight = list(self.inner.dispatch(rest)) if rest else []
+            return inflight + chained
         inflight = list(self.inner.dispatch(rest)) if rest else []
         if packed:
             inflight.extend(self._dispatch_packed(packed))
         return inflight
+
+    def _dispatch_packed_chained(self, items: list[PairItem]):
+        """Chain whole-read windows into lane-packed planes.
+
+        Rows (one per (pack, window identity)) chain back-to-back into
+        the W sublane slots of each pack's groups with per-slot DP
+        reseeds, exactly like PairScorer._dispatch_chained — but every
+        row is scored against the pack's NSEG profiles at once, so the
+        plane is NSEG-times larger at the same slot count (round 5: the
+        padded-cell rate grows ~2x per plane doubling up to ~128k lanes,
+        measured 58/84/110 padded-GCUPS at Kp 512/1024/2048 w=64).
+        Returns (leftover_items, entries): rows past the cap pin or LUT
+        fall back to the caller's inner dispatch."""
+        import jax.numpy as jnp
+
+        m = self._metrics
+        kappa = self.kappa
+
+        # rows: pack -> {window identity -> [(segment, item), ...]}
+        per: dict[int, dict] = {}
+        for it in items:
+            pack, s = divmod(it.p_idx, self.nseg)
+            per.setdefault(pack, {}).setdefault(
+                (it.s_idx, it.win.start, it.win.stop), []).append((s, it))
+
+        def blk(length):
+            return -(-length // kappa)
+
+        if self._chain_pin is None:
+            blks = np.sort(np.array(
+                [blk(k[2] - k[1]) for rows in per.values() for k in rows]))
+            if len(blks) == 0:
+                return items, []
+            cap = quantize_nlb(max(_mass_p90(blks), self.NLB_FLOOR))
+            bmax = max(sum(blk(k[2] - k[1]) for k in rows
+                           if blk(k[2] - k[1]) <= cap)
+                       for rows in per.values())
+            nslots = -(-bmax // cap)
+            w_c = max(8, min(self.w, next_pow2(max(nslots, 1))))
+            self._chain_pin = (cap, 4, w_c, cap)
+        cap, cmax, w_c, maxblk = self._chain_pin
+
+        leftover: list[PairItem] = []
+        pairs: list[tuple[int, list]] = []  # (pack, [slot rows])
+        for pack in sorted(per):
+            rows = []
+            for key in sorted(per[pack]):
+                segs = per[pack][key]
+                it0 = segs[0][1]
+                b = blk(it0.win.length)
+                xti = self._xt_index(it0)
+                if b > maxblk or xti is None:
+                    leftover.extend(it for _, it in segs)
+                else:
+                    rows.append(((key, segs, xti), b))
+            rows.sort(key=lambda x: (-x[1], x[0][0]))
+            slots = [s for s, _ in self._lpt_pack(rows, w_c, cap, cmax)]
+            for i in range(0, len(slots), w_c):
+                pairs.append((pack, slots[i:i + w_c]))
+
+        if not pairs:
+            return leftover, []
+        if self._xt_lut_dev is None:
+            self._xt_lut_dev = jnp.asarray(self._xt_lut)
+
+        entries: list = []
+        sizes = chunk_sizes(len(pairs))
+        per_group = cap * kappa * 5 * w_c * 4
+        if NCHUNK * per_group > self.INFLIGHT_BYTES // 2:
+            sizes = [s for size in sizes
+                     for s in ([8] * (size // 8) + ([size % 8] if size % 8
+                                                    else [])
+                               if size == NCHUNK else [size])]
+        i0 = 0
+        for size in sizes:
+            chunk = pairs[i0:i0 + size]
+            i0 += size
+            t0 = time.perf_counter()
+            N = pad_groups(len(chunk))
+            pidx = np.zeros((N,), np.int32)
+            sblk = np.zeros((N, w_c, cmax), np.int32)
+            wlen = np.zeros((N, w_c, cmax), np.int32)
+            gst = np.full((N, w_c, cmax), self.dev_codes.pad_start,
+                          np.int32)
+            xti = np.zeros((N, w_c, cmax), np.int32)
+            groups = []
+            for gi, (pack, slots) in enumerate(chunk):
+                pidx[gi] = pack
+                gslots = []
+                for wi, slot in enumerate(slots):
+                    b = 0
+                    grow = []
+                    for ci, (_key, segs, xtin) in enumerate(slot):
+                        it0 = segs[0][1]
+                        sblk[gi, wi, ci] = b
+                        wlen[gi, wi, ci] = it0.win.length
+                        gst[gi, wi, ci] = it0.gstart
+                        xti[gi, wi, ci] = xtin
+                        b += blk(it0.win.length)
+                        grow.append(segs)
+                    gslots.append(grow)
+                groups.append(gslots)
+            t1 = time.perf_counter()
+            alt, nul = self._invoke_scores_packed_chained(
+                pidx, sblk, wlen, gst, xti, cap, maxblk)
+            t2 = time.perf_counter()
+            if m is not None:
+                m.add_wall("pack", t1 - t0)
+                m.add_wall("dispatch", t2 - t1)
+                if _sync_debug():
+                    np.asarray(alt).sum()
+                    name = (f"bkt_pchain_kp{self.Kp}_s{self.nseg}"
+                            f"_cap{cap}_n{N}_w{w_c}")
+                    m.add_wall(name, time.perf_counter() - t2)
+                    true = int((wlen.sum(axis=(1, 2)).astype(np.int64)
+                                * 5 * self._pack_ksum[pidx]).sum())
+                    m.add_bucket_cells(name, true,
+                                       N * w_c * cap * kappa * 5 * self.Kp)
+            nbytes = N * cap * kappa * 5 * w_c * 4
+            entries.append((_PackedChainChunk(groups), alt, nul, nbytes))
+        return leftover, entries
+
+    def _invoke_scores_packed_chained(self, pidx, sblk, wlen, gst, xti,
+                                      cap, maxblk):
+        """The packed chained phase-1 call; the device-parallel subclass
+        shards the pack-group dim over its mesh."""
+        import jax.numpy as jnp
+
+        return self._vp.viterbi_scores_pairs_packed_chained(
+            jnp.asarray(pidx), self.tables, self.tvecs,
+            jnp.asarray(sblk), jnp.asarray(wlen), jnp.asarray(gst),
+            jnp.asarray(xti), self._xt_lut_dev, self.dev_codes.dev,
+            nlb=cap, maxblk=maxblk, nseg=self.nseg, kappa=self.kappa,
+            interpret=self.interpret)
 
     def _w_eff(self, rows_per_pack: int) -> int:
         if self._w_pinned is None:
@@ -1352,6 +1528,20 @@ class PackedPairScorer:
     def _collect_entry(self, entry, results, m=None) -> None:
         if isinstance(entry[0], (_Bucket, _ChainChunk)):  # inner entry
             PairScorer._collect_one(entry, results, m)
+            return
+        if isinstance(entry[0], _PackedChainChunk):
+            chunkmap, alt, nul = entry[0], entry[1], entry[2]
+            t0 = time.perf_counter()
+            alt = np.asarray(alt)  # (N, W, C, S)
+            nul = np.asarray(nul)
+            if m is not None:
+                m.add_wall("collect", time.perf_counter() - t0)
+            for gi, g in enumerate(chunkmap.groups):
+                for wi, slot in enumerate(g):
+                    for ci, segs in enumerate(slot):
+                        for s, it in segs:
+                            results[id(it)] = (float(nul[gi, wi, ci, s]),
+                                               float(alt[gi, wi, ci, s]))
             return
         chunk, alt, nul = entry[0], entry[1], entry[2]
         t0 = time.perf_counter()
@@ -1487,11 +1677,16 @@ class BucketedPairScorer:
     # 69.6 GCUPS vs 56.2 at w=16 on v5e); Kp=16384 still gets w=16.
     HBM_STATE_BUDGET = 32_000_000
     # Lane packing (PackedPairScorer): profiles whose 64-lane seg need is
-    # at most PACK_MAX_SEG pack NSEG per plane, capped at PACK_KP_MAX
-    # total lanes (bigger planes amortize per-position work; beyond 512
-    # the VMEM budget for the widened table bites).
-    PACK_MAX_SEG = 256
-    PACK_KP_MAX = 512
+    # at most PACK_MAX_SEG pack NSEG per plane, up to PACK_KP_MAX total
+    # lanes.  Round 5 raised both from 256/512: the kernel's padded-cell
+    # rate roughly doubles per plane-size doubling (58/84/110 GCUPS
+    # measured at Kp 512/1024/2048, w=64, v5e), so packing small AND
+    # mid-K profiles onto the biggest plane that fits VMEM beats any
+    # small-plane fill optimization.  Classes form greedily from the
+    # largest seg need down, accepting members within 2x (lane fill
+    # >= 0.5 before 64-lane quantization).
+    PACK_MAX_SEG = 1024
+    PACK_KP_MAX = 2048
 
     @staticmethod
     def w_cap(kp: int) -> int:
@@ -1551,26 +1746,59 @@ class BucketedPairScorer:
         # — round-4's "mesh loses the packing tier" weak spot).  Custom
         # factories keep the classic pow2 buckets.  Singleton classes
         # aren't worth a packed program.
-        packed_classes: dict[int, list[int]] = {}
+        # greedy class formation, largest seg need first: a class opened
+        # at seg accepts members with segn >= seg/2 (their lanes pad up
+        # to seg); singleton classes stay unpacked — an nseg=2 pack with
+        # one pad segment is pure waste vs the profile's own pow2 bucket
         plain: list[int] = []
         allow_packing = scorer_factory is None
+        cand: list[tuple[int, int]] = []
         for i, c in enumerate(costs_list):
             segn = vp.round_up(c.K + 2, 64)
             if allow_packing and segn <= self.PACK_MAX_SEG:
-                packed_classes.setdefault(segn, []).append(i)
+                cand.append((segn, i))
             else:
                 plain.append(i)
-        for segn in sorted(packed_classes):
-            if len(packed_classes[segn]) < 2:
-                plain.extend(packed_classes.pop(segn))
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        packed_classes: list[tuple[int, list[int]]] = []
+        cur_seg: int | None = None
+        cur: list[int] = []
+        for segn, i in cand:
+            if cur_seg is None or segn * 2 < cur_seg:
+                if cur:
+                    packed_classes.append((cur_seg, cur))
+                cur_seg, cur = segn, [i]
+            else:
+                cur.append(i)
+        if cur:
+            packed_classes.append((cur_seg, cur))
+        kept: list[tuple[int, list[int]]] = []
+        for seg, idxs in packed_classes:
+            if len(idxs) < 2:
+                plain.extend(idxs)
+            else:
+                kept.append((seg, idxs))
 
         self._map: dict[int, tuple[int, int]] = {}
         self.scorers = []
-        for segn in sorted(packed_classes):
-            idxs = sorted(packed_classes[segn],
-                          key=lambda i: costs_list[i].K)
-            nseg = min(self.PACK_KP_MAX // segn, 8,
-                       next_pow2(len(idxs)))
+        for segn, members in kept:
+            idxs = sorted(members, key=lambda i: costs_list[i].K)
+            # divisor-aware nseg: minimize total pack lanes
+            # ceil(n/nseg)*nseg*seg (a 5-member class at nseg=4 packs
+            # 4+1 — the singleton pack wastes 3 pad segments; nseg=3
+            # packs 3+2 with one pad at a bigger plane), tiebreak toward
+            # the larger plane for the better padded-cell rate
+            n = len(idxs)
+            best = None
+            for cand_nseg in range(2, min(8, max(
+                    self.PACK_KP_MAX // segn, 2)) + 1):
+                if (segn * cand_nseg) % 128:
+                    continue
+                units = -(-n // cand_nseg) * cand_nseg
+                key = (units, -cand_nseg)
+                if best is None or key < best[0]:
+                    best = (key, cand_nseg)
+            nseg = best[1] if best else 2
             while (segn * nseg) % 128:
                 nseg *= 2  # seg=192: S=2 -> Kp=384 (vreg multiple)
             for local, gi in enumerate(idxs):
@@ -1584,12 +1812,13 @@ class BucketedPairScorer:
                 from ..parallel.multidevice import MultiDevicePackedScorer
 
                 self.scorers.append(MultiDevicePackedScorer(
-                    costs, nseg=nseg, mesh=mesh, interpret=interpret,
-                    kappa=kappa, w=w, inner_w=inner_w))
+                    costs, seg=segn, nseg=nseg, mesh=mesh,
+                    interpret=interpret, kappa=kappa, w=w,
+                    inner_w=inner_w))
             else:
                 self.scorers.append(PackedPairScorer(
-                    costs, nseg=nseg, interpret=interpret, kappa=kappa,
-                    w=w, inner_w=inner_w))
+                    costs, seg=segn, nseg=nseg, interpret=interpret,
+                    kappa=kappa, w=w, inner_w=inner_w))
 
         buckets: dict[int, list[int]] = {}
         for i in plain:

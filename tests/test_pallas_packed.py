@@ -121,14 +121,19 @@ def test_packed_scorer_matches_plain_scorer(monkeypatch):
 
 
 def test_bucketed_scorer_builds_packed_tiers():
-    """Profiles class by 64-lane seg need; small-K classes with >=2
-    members get a PackedPairScorer, singletons and big K stay plain."""
+    """Round-5 greedy class formation: classes open at the largest seg
+    need and accept members within 2x, so {100,120} (seg 128) absorbs
+    {30,50,60} (seg 64, lane fill >= 0.5) into ONE packed class;
+    singletons and big K stay plain."""
     ks = [30, 50, 60, 100, 120, 300, 5000]
     costs = [build_costs(sample_profile(seed=40 + i, core_size=k))
              for i, k in enumerate(ks)]
     b = BucketedPairScorer(costs, interpret=True)
     kinds = [type(s).__name__ for s in b.scorers]
-    assert kinds.count("PackedPairScorer") == 2  # seg=64 {30,50,60}, seg=128 {100,120}
+    assert kinds.count("PackedPairScorer") == 1
+    packed = next(s for s in b.scorers
+                  if type(s).__name__ == "PackedPairScorer")
+    assert packed.seg == 128 and packed.nseg >= 4
     # K=300 singleton -> plain; K=5000 -> HBM tier
     assert any(getattr(s, "hbm_table", False) for s in b.scorers)
     # every profile maps to a scorer
