@@ -1966,12 +1966,16 @@ def _kernel_pending_packed(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     """Segment-packed variant of _kernel_pending (same recurrence; see the
     section comment above for the packed layout).
 
-    Chain mode mirrors _kernel_pending's: each sublane slot carries a
-    back-to-back window chain (the SAME chain for every segment — packs
-    score one window against all NSEG profiles at once), xt/len become
-    per-block slot vectors, reset_ref reseeds a slot's DP at its
-    windows' first blocks, and outputs land per (pair, block, slot,
-    segment) for the caller's end-block compaction."""
+    Chain mode mirrors _kernel_pending's, with PER-SEGMENT window
+    metadata: each sublane slot carries a shared CODE stream (a chain of
+    read runs — one gather feeds every segment's lanes), while xt/len/
+    reset are per (block, slot, SEGMENT), so each segment lays its OWN
+    window list on the slot's block axis (reseeding its lane range and
+    latching T/R independently).  This is what lets profiles with
+    K-dependent window boundaries (window.c: min(50K, 100k) nt) share
+    one packed plane: the windows differ per segment, the codes do not.
+    Outputs land per (pair, block, slot, segment) for the caller's
+    end-block compaction."""
     if chain:
         (reset_ref, alt_ref, null_ref,
          MA, PM, PI, PSM, ST, SS, Tfin, Rfin) = refs
@@ -1985,12 +1989,18 @@ def _kernel_pending_packed(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (W, Kp), 1)
     lane_seg = jax.lax.rem(lane2, seg)
     seg_id = lane2 // seg
-    # xt/lens shared across a slot's segments (same window, same length)
-    xt = xt_ref[0, 0] if chain else xt_ref[0]  # (W, 16)
-    lens = len_ref[0, 0] if chain else len_ref[0]  # (W, 1)
+    if chain:
+        xt = xt_ref[0, 0]  # (W, S, 16) per-segment active-window xtrans
+        lens = len_ref[0, 0]  # (W, S) per-segment chain-coord ends
 
-    def xtc(j):  # (W, 1) broadcasts against the (W, S) specials
-        return xt[:, j:j + 1]
+        def xtc(j):  # (W, S) aligns with the per-segment specials
+            return xt[:, :, j]
+    else:
+        xt = xt_ref[0]  # (W, 16); shared (same window, same length)
+        lens = len_ref[0]  # (W, 1)
+
+        def xtc(j):  # (W, 1) broadcasts against the (W, S) specials
+            return xt[:, j:j + 1]
 
     tv_mms = tvec_ref[0, TV_MMS]
     tv_ims = tvec_ref[0, TV_IMS]
@@ -2030,14 +2040,17 @@ def _kernel_pending_packed(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
         Rfin[...] = inf_ws
 
     if chain:
-        rs = reset_ref[0, 0] > 0  # (W, 1) slots starting a window here
+        rs = reset_ref[0, 0] > 0  # (W, S) segments starting a window here
 
         @pl.when(jnp.max(reset_ref[0, 0]) > 0)
         def _reseed():
-            PM[...] = jnp.where(rs[None], INF, PM[...])
-            PI[...] = jnp.where(rs[None], INF, PI[...])
+            # lane-range mask: only the reseeding segment's lanes clear
+            rs_l = seg_to_lanes(
+                reset_ref[0, 0].astype(jnp.float32)) > 0  # (W, Kp)
+            PM[...] = jnp.where(rs_l[None], INF, PM[...])
+            PI[...] = jnp.where(rs_l[None], INF, PI[...])
             PSM[...] = jnp.where(rs[None, None], INF, PSM[...])
-            ST[...] = jnp.where(rs[None], INF, ST[...])
+            ST[...] = jnp.where(rs_l[None], INF, ST[...])
             inf_ws = jnp.full((W, S), INF)
             seeds = jnp.stack([
                 jnp.zeros((W, S)),  # S_0 = 0
@@ -2109,7 +2122,8 @@ def _kernel_pending_packed(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
                           J_l + xtc(XT_JB))
         T_l = jnp.minimum(E_l + xtc(XT_ET), C_l + xtc(XT_CT))
 
-        at_end = lens == l  # (W, 1): length shared across segments
+        # (W, S) per-segment in chain mode; (W, 1) broadcast otherwise
+        at_end = lens == l
         Tfin[...] = jnp.where(at_end, T_l, Tfin[...])
         Rfin[...] = jnp.where(at_end, R_l, Rfin[...])
 
@@ -2211,8 +2225,9 @@ def _scores_pairs_packed_chain_core(pidx, tables, tvecs, xts, lengths,
                                     interpret):
     """Chained packed pairs kernel call (see _scores_pairs_chain_core).
 
-    xts (N, NLB, W, 16) f32; lengths/resets (N, NLB, W, 1) i32;
-    codes (N, NLB, kappa, 5, W) i32 START-indexed; tables
+    xts (N, NLB, W, S, 16) f32; lengths/resets (N, NLB, W, S) i32 —
+    PER-SEGMENT active-window metadata over the slot's shared code
+    stream; codes (N, NLB, kappa, 5, W) i32 START-indexed; tables
     (NPACK, 1364, 2*Kp+PACK_PAD) packed rows.  Returns (alt, nul):
     (N, NLB, W, NSEG) f32 per-block latched costs."""
     _, _, Kp = tvecs.shape
@@ -2241,13 +2256,13 @@ def _scores_pairs_packed_chain_core(pidx, tables, tvecs, xts, lengths,
             pl.BlockSpec((1, 8, Kp),
                          lambda pair, nlb, pidx: (pidx[pair], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W, 16),
+            pl.BlockSpec((1, 1, W, S, 16),
+                         lambda pair, nlb, pidx: (pair, nlb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, S),
                          lambda pair, nlb, pidx: (pair, nlb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W, 1),
-                         lambda pair, nlb, pidx: (pair, nlb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W, 1),
+            pl.BlockSpec((1, 1, W, S),
                          lambda pair, nlb, pidx: (pair, nlb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -2283,47 +2298,89 @@ def _scores_pairs_packed_chain_core(pidx, tables, tvecs, xts, lengths,
     return alt, nul
 
 
+def _iseg_window_expand(win_sblk, win_len, win_xti, xt_lut, *, kappa,
+                        nlb):
+    """Per-SEGMENT window metadata -> per-block kernel inputs.
+
+    win_sblk/win_len/win_xti: (N, W, S, C) int32 — window c of segment s
+    of slot w: starting l-block in the SLOT's shared code chain, nt
+    length (0 = pad), xtrans LUT row.  Returns kernel-layout
+    (xts (N, NLB, W, S, 16), lens (N, NLB, W, S), resets
+    (N, NLB, W, S), end_blk (N, W, S, C))."""
+    b = jnp.arange(nlb, dtype=jnp.int32)  # (NLB,)
+    blklen = -(-win_len // kappa)
+    end_blk = win_sblk + blklen  # exclusive, (N, W, S, C)
+    cov = ((win_sblk[..., None] <= b) & (b < end_blk[..., None])
+           & (win_len[..., None] > 0))  # (N, W, S, C, NLB)
+    anyc = jnp.any(cov, axis=3)  # (N, W, S, NLB)
+    cidx = jnp.argmax(cov, axis=3)  # windows of one segment-slot are
+    # disjoint in blocks, so argmax is exact
+
+    def sel(a):  # (N, W, S, C) -> per-block (N, W, S, NLB)
+        return jnp.take_along_axis(a, cidx, axis=3)
+
+    end_chain = win_sblk * kappa + win_len
+    lens_blk = jnp.where(anyc, sel(end_chain), 0)
+    reset_blk = (anyc
+                 & (b[None, None, None] == sel(win_sblk))).astype(jnp.int32)
+    xts_blk = jnp.take(xt_lut, jnp.where(anyc, sel(win_xti), 0), axis=0)
+    # kernel layouts: (N, NLB, W, S, ...)
+    xts_k = xts_blk.transpose(0, 3, 1, 2, 4)
+    lens_k = lens_blk.transpose(0, 3, 1, 2)
+    rs_k = reset_blk.transpose(0, 3, 1, 2)
+    return xts_k, lens_k, rs_k, end_blk
+
+
 @functools.partial(jax.jit,
                    static_argnames=("kappa", "nlb", "maxblk", "nseg",
                                     "interpret"))
-def _chained_scores_packed_jit(pidx, tables, tvecs, win_sblk, win_len,
-                               win_gstart, win_xti, xt_lut, codes_all, *,
+def _chained_scores_packed_jit(pidx, tables, tvecs, run_sblk, run_len,
+                               run_gstart, win_sblk, win_len, win_xti,
+                               xt_lut, codes_all, *,
                                kappa, nlb, maxblk, nseg, interpret):
-    """Packed-plane chained scoring: _chain_expand's metadata contract,
-    outputs (N, W, C, NSEG) — chain window c of slot w scored against
-    each of the pack's NSEG profiles."""
-    xts_k, lens_k, rs_k, ck, end_blk = _chain_expand(
-        win_sblk, win_len, win_gstart, win_xti, xt_lut, codes_all,
-        kappa=kappa, nlb=nlb, maxblk=maxblk)
+    """Packed-plane chained scoring with per-segment windows.
+
+    run_sblk/run_len/run_gstart (N, W, CR): the slot's shared code
+    chain — contiguous read runs gathered exactly like _chain_expand's
+    windows (one gather feeds every segment).  win_* (N, W, S, C): each
+    segment's windows at slot-chain block coords (_iseg_window_expand).
+    Outputs (N, W, S, C) per-window costs."""
+    # shared code gather: reuse _chain_expand on the run chain (its
+    # xt/len expansion is recomputed per segment below; the dummy xti
+    # rows land on LUT row 0 and are ignored)
+    _, _, _, ck, _ = _chain_expand(
+        run_sblk, run_len, run_gstart, jnp.zeros_like(run_sblk), xt_lut,
+        codes_all, kappa=kappa, nlb=nlb, maxblk=maxblk)
+    xts_k, lens_k, rs_k, end_blk = _iseg_window_expand(
+        win_sblk, win_len, win_xti, xt_lut, kappa=kappa, nlb=nlb)
     alt, nul = _scores_pairs_packed_chain_core(
         pidx, tables, tvecs, xts_k, lens_k, rs_k, ck,
         kappa=kappa, nseg=nseg, interpret=interpret)
-    # compact by end block, keeping the segment axis: (N, NLB, W, S) ->
-    # (N, W, S, NLB) -> take each window's final block -> (N, W, C, S)
-    eb = jnp.clip(end_blk - 1, 0, nlb - 1)  # (N, W, C)
-    C = eb.shape[2]
-    S = alt.shape[3]
-    ebx = jnp.broadcast_to(eb[:, :, None, :],
-                           (eb.shape[0], eb.shape[1], S, C))
-    alt_w = jnp.take_along_axis(alt.transpose(0, 2, 3, 1), ebx, axis=3)
-    nul_w = jnp.take_along_axis(nul.transpose(0, 2, 3, 1), ebx, axis=3)
-    return alt_w.transpose(0, 1, 3, 2), nul_w.transpose(0, 1, 3, 2)
+    # compact by end block: (N, NLB, W, S) -> (N, W, S, NLB) -> take
+    # each window's final block -> (N, W, S, C)
+    eb = jnp.clip(end_blk - 1, 0, nlb - 1)  # (N, W, S, C)
+    alt_w = jnp.take_along_axis(alt.transpose(0, 2, 3, 1), eb, axis=3)
+    nul_w = jnp.take_along_axis(nul.transpose(0, 2, 3, 1), eb, axis=3)
+    return alt_w, nul_w
 
 
-def viterbi_scores_pairs_packed_chained(pidx, tables, tvecs, win_sblk,
-                                        win_len, win_gstart, win_xti,
+def viterbi_scores_pairs_packed_chained(pidx, tables, tvecs, run_sblk,
+                                        run_len, run_gstart, win_sblk,
+                                        win_len, win_xti,
                                         xt_lut, codes_all, *, nlb, nseg,
                                         maxblk=None, kappa=None,
                                         interpret=False):
-    """Score NPAIR (profile-PACK, slot-chain-group) pairs: W slots of up
-    to C chained windows each, every window scored against the pack's
-    NSEG profiles at once.  Returns (alt, nul): (N, W, C, NSEG); scores
-    are bit-exact vs viterbi_scores_pairs_packed on the same windows."""
+    """Score NPAIR (profile-PACK, slot-chain-group) pairs: W slots, each
+    a shared chain of code runs, each segment s carrying its OWN window
+    list over that chain (K-dependent windowing packs this way; whole-
+    read windows are the special case where every segment lists the same
+    window).  Returns (alt, nul): (N, W, S, C); scores are bit-exact vs
+    viterbi_scores_pairs_packed on the same windows."""
     kappa, mode, _ = _resolve(kappa, "pending", None)
     assert mode == "pending"
     return _chained_scores_packed_jit(
-        pidx, tables, tvecs, win_sblk, win_len, win_gstart, win_xti,
-        xt_lut, codes_all, kappa=kappa, nlb=nlb,
+        pidx, tables, tvecs, run_sblk, run_len, run_gstart, win_sblk,
+        win_len, win_xti, xt_lut, codes_all, kappa=kappa, nlb=nlb,
         maxblk=nlb if maxblk is None else maxblk, nseg=nseg,
         interpret=interpret)
 

@@ -97,16 +97,17 @@ def _scores_packed_chained_shmap(mesh: Mesh, kappa: int, nlb: int,
     replicated."""
     from ..ops import viterbi_pallas as vp
 
-    def fn(pidx, tables, tvecs, sblk, wlen, gst, xti, lut, codes_all):
+    def fn(pidx, tables, tvecs, sblk, wlen, gst, wsb, wln, wxt, lut,
+           codes_all):
         return vp.viterbi_scores_pairs_packed_chained(
-            pidx, tables, tvecs, sblk, wlen, gst, xti, lut, codes_all,
-            nlb=nlb, maxblk=maxblk, nseg=nseg, kappa=kappa,
+            pidx, tables, tvecs, sblk, wlen, gst, wsb, wln, wxt, lut,
+            codes_all, nlb=nlb, maxblk=maxblk, nseg=nseg, kappa=kappa,
             interpret=interpret)
 
     sh, rep = P(MESH_AXIS), P()
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(sh, rep, rep, sh, sh, sh, sh, rep, rep),
+        in_specs=(sh, rep, rep, sh, sh, sh, sh, sh, sh, rep, rep),
         out_specs=(sh, sh), check_vma=False))
 
 
@@ -385,6 +386,8 @@ class MultiDevicePackedScorer(PackedPairScorer):
     def _invoke_scores_packed_chained(self, pidx, sblk, wlen, gst, xti,
                                       cap, maxblk):
         n = pidx.shape[0]
+        N, Wc, C = sblk.shape
+        S = self.nseg
         npad = -(-n // self.ndev) * self.ndev - n
         if npad:
             # pad pack-groups to the mesh size; pad groups carry zero
@@ -394,6 +397,13 @@ class MultiDevicePackedScorer(PackedPairScorer):
             wlen = np.pad(wlen, ((0, npad), (0, 0), (0, 0)))
             gst = np.pad(gst, ((0, npad), (0, 0), (0, 0)))
             xti = np.pad(xti, ((0, npad), (0, 0), (0, 0)))
+            N += npad
+        wsb = np.ascontiguousarray(
+            np.broadcast_to(sblk[:, :, None, :], (N, Wc, S, C)))
+        wln = np.ascontiguousarray(
+            np.broadcast_to(wlen[:, :, None, :], (N, Wc, S, C)))
+        wxt = np.ascontiguousarray(
+            np.broadcast_to(xti[:, :, None, :], (N, Wc, S, C)))
         sh = NamedSharding(self.mesh, P(MESH_AXIS))
         rep = NamedSharding(self.mesh, P())
         if getattr(self._xt_lut_dev, "sharding", None) != rep:
@@ -403,5 +413,6 @@ class MultiDevicePackedScorer(PackedPairScorer):
             self.interpret)
         return fn(jax.device_put(pidx, sh), self.tables, self.tvecs,
                   jax.device_put(sblk, sh), jax.device_put(wlen, sh),
-                  jax.device_put(gst, sh), jax.device_put(xti, sh),
+                  jax.device_put(gst, sh), jax.device_put(wsb, sh),
+                  jax.device_put(wln, sh), jax.device_put(wxt, sh),
                   self._xt_lut_dev, self.dev_codes.dev)

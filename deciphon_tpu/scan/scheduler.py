@@ -1430,13 +1430,28 @@ class PackedPairScorer:
     def _invoke_scores_packed_chained(self, pidx, sblk, wlen, gst, xti,
                                       cap, maxblk):
         """The packed chained phase-1 call; the device-parallel subclass
-        shards the pack-group dim over its mesh."""
+        shards the pack-group dim over its mesh.
+
+        Whole-read windows are shared across a pack's segments, so the
+        slot's code-run chain IS the window chain and the per-segment
+        window metadata is the same chain broadcast over the segment
+        axis (the kernel supports per-segment windows; the scheduler
+        currently only emits the shared case — K-dependent windowing
+        keeps per-profile boundaries, see _dispatch_packed_chained)."""
         import jax.numpy as jnp
 
+        N, Wc, C = sblk.shape
+        S = self.nseg
+        wsb = np.broadcast_to(sblk[:, :, None, :], (N, Wc, S, C))
+        wln = np.broadcast_to(wlen[:, :, None, :], (N, Wc, S, C))
+        wxt = np.broadcast_to(xti[:, :, None, :], (N, Wc, S, C))
         return self._vp.viterbi_scores_pairs_packed_chained(
             jnp.asarray(pidx), self.tables, self.tvecs,
             jnp.asarray(sblk), jnp.asarray(wlen), jnp.asarray(gst),
-            jnp.asarray(xti), self._xt_lut_dev, self.dev_codes.dev,
+            jnp.asarray(np.ascontiguousarray(wsb)),
+            jnp.asarray(np.ascontiguousarray(wln)),
+            jnp.asarray(np.ascontiguousarray(wxt)),
+            self._xt_lut_dev, self.dev_codes.dev,
             nlb=cap, maxblk=maxblk, nseg=self.nseg, kappa=self.kappa,
             interpret=self.interpret)
 
@@ -1532,7 +1547,7 @@ class PackedPairScorer:
         if isinstance(entry[0], _PackedChainChunk):
             chunkmap, alt, nul = entry[0], entry[1], entry[2]
             t0 = time.perf_counter()
-            alt = np.asarray(alt)  # (N, W, C, S)
+            alt = np.asarray(alt)  # (N, W, S, C)
             nul = np.asarray(nul)
             if m is not None:
                 m.add_wall("collect", time.perf_counter() - t0)
@@ -1540,8 +1555,8 @@ class PackedPairScorer:
                 for wi, slot in enumerate(g):
                     for ci, segs in enumerate(slot):
                         for s, it in segs:
-                            results[id(it)] = (float(nul[gi, wi, ci, s]),
-                                               float(alt[gi, wi, ci, s]))
+                            results[id(it)] = (float(nul[gi, wi, s, ci]),
+                                               float(alt[gi, wi, s, ci]))
             return
         chunk, alt, nul = entry[0], entry[1], entry[2]
         t0 = time.perf_counter()

@@ -108,19 +108,85 @@ def test_packed_chained_bit_exact(setup):
     nlb = int((wlen // KAPPA + (wlen % KAPPA > 0)).sum(axis=2).max())
     pidx = np.zeros((N,), np.int32)
 
+    # per-segment window metadata: the shared-window case broadcasts the
+    # slot's run chain to every segment
+    wsb = np.broadcast_to(sblk[:, :, None, :], (N, W, NSEG, C))
+    wln = np.broadcast_to(wlen[:, :, None, :], (N, W, NSEG, C))
+    wxt = np.broadcast_to(xti[:, :, None, :], (N, W, NSEG, C))
     alt, nul = vp.viterbi_scores_pairs_packed_chained(
         jnp.asarray(pidx), tables, tvecs, jnp.asarray(sblk),
-        jnp.asarray(wlen), jnp.asarray(gst), jnp.asarray(xti),
+        jnp.asarray(wlen), jnp.asarray(gst),
+        jnp.asarray(np.ascontiguousarray(wsb)),
+        jnp.asarray(np.ascontiguousarray(wln)),
+        jnp.asarray(np.ascontiguousarray(wxt)),
         jnp.asarray(lut_arr), dev_codes.dev, nlb=nlb, nseg=NSEG,
         kappa=KAPPA, interpret=True)
-    alt = np.asarray(alt)
+    alt = np.asarray(alt)  # (N, W, S, C)
     nul = np.asarray(nul)
 
     checked = 0
     for s, chain in enumerate(chains):
         for c, w in enumerate(chain):
             want_nul, want_alt = ref[w]
-            np.testing.assert_array_equal(alt[0, s, c], want_alt, str((s, c)))
-            np.testing.assert_array_equal(nul[0, s, c], want_nul, str((s, c)))
+            np.testing.assert_array_equal(alt[0, s, :, c], want_alt,
+                                          str((s, c)))
+            np.testing.assert_array_equal(nul[0, s, :, c], want_nul,
+                                          str((s, c)))
             checked += NSEG
     assert checked == len(wins) * NSEG
+
+
+def test_packed_chained_per_segment_windows(setup):
+    """Segments may lay DIFFERENT window lists on the slot's shared code
+    stream (block-aligned starts): each segment's scores must equal the
+    unchained packed scores of ITS OWN windows."""
+    import jax.numpy as jnp
+
+    seq, dev_codes, tables, tvecs = setup
+    KB = KAPPA  # block granularity in nt
+    seg_wins = [
+        [(0, 400), (400, 800), (800, 1195)],  # segment 0's windows
+        [(0, 800), (800, 1100)],              # segment 1's windows
+    ]
+    ref = [_ref_scores(dev_codes, tables, tvecs, ws) for ws in seg_wins]
+
+    # one shared run covering seq[0:1200): 30 blocks
+    N, C = 1, 3
+    run_sblk = np.zeros((N, W, 1), np.int32)
+    run_len = np.zeros((N, W, 1), np.int32)
+    run_gst = np.full((N, W, 1), dev_codes.pad_start, np.int32)
+    run_len[0, 0, 0] = 1200
+    run_gst[0, 0, 0] = dev_codes.gstart(0, 0)
+
+    wsb = np.zeros((N, W, NSEG, C), np.int32)
+    wln = np.zeros((N, W, NSEG, C), np.int32)
+    wxt = np.zeros((N, W, NSEG, C), np.int32)
+    lut, lut_idx = [], {}
+    for s, ws in enumerate(seg_wins):
+        for c, (start, stop) in enumerate(ws):
+            assert start % KB == 0, "window starts must be block-aligned"
+            L = stop - start
+            if L not in lut_idx:
+                lut_idx[L] = len(lut)
+                lut.append(np.pad(xtrans_cost_vector(True, False, L),
+                                  (0, 3)))
+            wsb[0, 0, s, c] = start // KB
+            wln[0, 0, s, c] = L
+            wxt[0, 0, s, c] = lut_idx[L]
+    lut_arr = np.zeros((16, 16), np.float32)
+    lut_arr[: len(lut)] = np.stack(lut)
+
+    alt, nul = vp.viterbi_scores_pairs_packed_chained(
+        jnp.asarray(np.zeros((N,), np.int32)), tables, tvecs,
+        jnp.asarray(run_sblk), jnp.asarray(run_len), jnp.asarray(run_gst),
+        jnp.asarray(wsb), jnp.asarray(wln), jnp.asarray(wxt),
+        jnp.asarray(lut_arr), dev_codes.dev, nlb=30, nseg=NSEG,
+        kappa=KAPPA, interpret=True)
+    alt = np.asarray(alt)
+    nul = np.asarray(nul)
+    for s, ws in enumerate(seg_wins):
+        for c, w in enumerate(ws):
+            want_nul, want_alt = ref[s][w]
+            # segment s's lane range scored ITS window list
+            assert alt[0, 0, s, c] == np.float32(want_alt[s]), (s, c)
+            assert nul[0, 0, s, c] == np.float32(want_nul[s]), (s, c)
