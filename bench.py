@@ -60,6 +60,30 @@ def measured_cpu_baseline() -> float | None:
         return None
 
 
+def tunnel_health() -> dict:
+    """Round-trip latency of the device link, reported with every bench.
+
+    The tunneled TPU's per-dispatch latency was measured drifting from
+    ~2 ms to ~190 ms within one session (round 5) — a 5x swing that
+    dwarfs any kernel change.  Publishing the median round trip with the
+    numbers makes a degraded-tunnel run attributable instead of looking
+    like a perf regression."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 128), jnp.float32)
+    (x + 1).block_until_ready()
+    samples = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(np.asarray(x + 1).sum())
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return {"rt_ms_median": round(samples[len(samples) // 2] * 1e3, 2),
+            "rt_ms_min": round(samples[0] * 1e3, 2),
+            "device": jax.devices()[0].device_kind}
+
+
 def bench_kernel(args) -> dict:
     """Pairs-kernel GCUPS with device-resident inputs."""
     import jax
@@ -784,6 +808,10 @@ def main() -> None:
             baseline, baseline_src = CPU_BASELINE_GCUPS_FALLBACK, "estimate"
         extra = {"baseline_gcups": round(baseline, 3),
                  "baseline_src": baseline_src}
+        try:
+            extra["tunnel"] = tunnel_health()
+        except Exception:
+            pass
         kr = _run_child("kernel", argv, 1500)
         if kr and "kernel_sweep" in kr["extra"]:
             extra["kernel_sweep"] = kr["extra"]["kernel_sweep"]
@@ -921,6 +949,10 @@ def main() -> None:
         baseline, baseline_src = CPU_BASELINE_GCUPS_FALLBACK, "estimate"
     extra["baseline_gcups"] = round(baseline, 3)
     extra["baseline_src"] = baseline_src
+    try:
+        extra["tunnel"] = tunnel_health()
+    except Exception:
+        pass
 
     if "kernel" in extra:
         value, unit = extra["kernel"]["gcups"], "GCUPS/chip"

@@ -74,10 +74,15 @@ def press(hmmfile, gencode, epsilon, output, progress):
 @click.argument("dbfile", type=click.Path(exists=True, dir_okay=False))
 @click.option("--read-length", "read_lengths", type=int, multiple=True,
               help="Expected read length(s); default = one full window "
-                   "per distinct profile core size.")
+                   "per distinct profile core size plus a 10 knt read. "
+                   "Chain-tier shapes pin to the warmup reads' length "
+                   "mix, so pass your production read length.")
+@click.option("--reads-per-length", type=int, default=1, show_default=True,
+              help="Synthetic reads per length (more reads exercise the "
+                   "wider chunk shapes a deep scan uses).")
 @click.option("--engine", type=click.Choice(["pallas", "jax"]),
               default="pallas", show_default=True)
-def warmup(dbfile, read_lengths, engine):
+def warmup(dbfile, read_lengths, reads_per_length, engine):
     """Precompile the scan kernels for DBFILE into the persistent XLA
     cache (one-time per database + read-length profile): later scans
     start in seconds instead of paying the cold compile wall."""
@@ -88,7 +93,8 @@ def warmup(dbfile, read_lengths, engine):
     enable_compilation_cache()
     _, profiles = read_dcp_profiles(str(dbfile))
     scanner = Scanner(profiles, ScanConfig(engine=engine))
-    dt = scanner.warmup(list(read_lengths) or None)
+    dt = scanner.warmup(list(read_lengths) or None,
+                        reads_per_length=reads_per_length)
     click.echo(f"warmup done in {dt:.1f}s "
                f"({len(profiles)} profiles, engine={engine})")
 

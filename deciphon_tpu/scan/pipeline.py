@@ -156,14 +156,23 @@ class Scanner:
     class Interrupted(RuntimeError):
         pass
 
-    def warmup(self, read_lengths: list[int] | None = None) -> float:
+    def warmup(self, read_lengths: list[int] | None = None,
+               reads_per_length: int = 1) -> float:
         """AOT shape warmup: compile the scan's kernel programs ahead of
         the first real batch by scanning synthetic reads of the expected
-        lengths (default: one full-window read per distinct core size).
-        Shapes land in the persistent XLA cache (utils/jaxcache.py), so
-        one warmup per (database, read-length profile) amortizes over
-        every later scan on the machine.  Returns the wall seconds
-        spent."""
+        lengths.  Shapes land in the persistent XLA cache
+        (utils/jaxcache.py), so one warmup per (database, read-length
+        profile) amortizes over every later scan on the machine.
+        Returns the wall seconds spent.
+
+        The chain tiers pin their (cap, cmax, w) shapes from the FIRST
+        wave's window-size mass (scheduler.py _mass_p90), so warmup only
+        covers a later scan's shapes when its reads RESEMBLE that scan's:
+        pass the read lengths you expect in production (e.g.
+        `read_lengths=[10000]`, `reads_per_length=16`).  The default —
+        one full-window read per distinct core size plus a 10 knt read,
+        the common long-read-sequencing scale — covers each bucket's
+        whole-read rung and the windowed small-K shapes."""
         import tempfile
         import time as _time
 
@@ -171,13 +180,16 @@ class Scanner:
 
         if read_lengths is None:
             read_lengths = sorted({
-                min(p.core_size * 50, 100000) for p in self.profiles})
+                min(p.core_size * 50, 100000) for p in self.profiles}
+                | {10000})
         rng = np.random.default_rng(0)
         seqs = [
-            Sequence.make(i, f"warmup{i}",
+            Sequence.make(i * reads_per_length + j,
+                          f"warmup{i}.{j}",
                           "".join("ACGT"[b]
                                   for b in rng.integers(0, 4, size=n)))
             for i, n in enumerate(read_lengths)
+            for j in range(reads_per_length)
         ]
         t0 = _time.perf_counter()
         with tempfile.TemporaryDirectory() as tmp:

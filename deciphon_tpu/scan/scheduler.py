@@ -1228,6 +1228,12 @@ class PackedPairScorer:
         self._pack_ksum = np.array(
             [sum(c.K for c in costs_list[i * nseg:(i + 1) * nseg])
              for i in range(npack)], np.int64)
+        # uniform-K packs share WINDOW boundaries (window.c windowing is
+        # a function of K alone), so their windowed reads pack too —
+        # only whole-read windows are pack-shareable otherwise
+        self._uniform_pack = [
+            len({c.K for c in costs_list[i * nseg:(i + 1) * nseg]}) == 1
+            for i in range(npack)]
         pairs = [vp.build_tables_packed(
             costs_list[i * nseg:(i + 1) * nseg], self.seg, nseg)
             for i in range(npack)]
@@ -1292,7 +1298,9 @@ class PackedPairScorer:
         packed: list[PairItem] = []
         rest: list[PairItem] = []
         for it in items:
-            if use_dev and it.win.start == 0 and it.win.stop == it.seq.size:
+            whole = (it.win.start == 0 and it.win.stop == it.seq.size)
+            if use_dev and (whole
+                            or self._uniform_pack[it.p_idx // self.nseg]):
                 packed.append(it)
             else:
                 rest.append(it)

@@ -106,6 +106,35 @@ def test_engine_equivalence_pallas_interpret(minifam_profiles,
     assert open(out_j).read() == open(out_p).read()
 
 
+def test_uniform_k_pack_windowed_reads_equivalence(tmp_path):
+    """Same-K profiles share WINDOW boundaries, so their windowed reads
+    ride the packed chain tier (scheduler _uniform_pack); products must
+    equal the jax engine's on a read long enough to be windowed
+    (5 knt > 50*K for K=60)."""
+    import numpy as np
+
+    from deciphon_tpu.profile import sample_profile
+    from deciphon_tpu.scan.sequence import Sequence
+
+    profiles = [sample_profile(seed=70 + i, core_size=60)
+                for i in range(3)]
+    rng = np.random.default_rng(12)
+    seqs = [Sequence.make(i, f"r{i}", "".join(
+        "ACGT"[b] for b in rng.integers(0, 4, size=n)))
+        for i, n in enumerate((5000, 2400, 900))]
+    out_j = Scanner(profiles, ScanConfig(engine="jax")).run(
+        seqs, str(tmp_path / "jax"))
+    sc = Scanner(profiles, ScanConfig(engine="pallas-interpret"))
+    out_p = sc.run(seqs, str(tmp_path / "pal"))
+    assert open(out_j).read() == open(out_p).read()
+    # the packed tier must actually be the path that scored them
+    from deciphon_tpu.scan.scheduler import PackedPairScorer
+
+    packed = [s for s in sc.scorer.scorers
+              if isinstance(s, PackedPairScorer)]
+    assert packed and all(packed[0]._uniform_pack)
+
+
 def test_scan_with_native_confirmation(minifam_profiles, consensus_sequences,
                                        tmp_path):
     from deciphon_tpu.hmmer.forward import NativeConfirmer

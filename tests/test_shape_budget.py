@@ -35,8 +35,35 @@ def _spy_workload(monkeypatch):
         return (np.full((n, w, nseg), np.inf, np.float32),
                 np.full((n, w, nseg), np.inf, np.float32))
 
+    def spy_chained(pidx, tables, tvecs, sblk, wlen, gst, xti, xt_lut,
+                    codes_all, *, nlb, maxblk=None, kappa=None,
+                    interpret=False):
+        n, w, c = sblk.shape
+        keys.add(("chain", tables.shape[2], nlb, maxblk, c, n, w))
+        return (np.full((n, w, c), np.inf, np.float32),
+                np.full((n, w, c), np.inf, np.float32))
+
+    def spy_pchained(pidx, tables, tvecs, run_sblk, run_len, run_gstart,
+                     win_sblk, win_len, win_xti, xt_lut, codes_all, *,
+                     nlb, nseg, maxblk=None, kappa=None, interpret=False):
+        n, w, s, c = win_sblk.shape
+        keys.add(("pchain", tvecs.shape[2], nseg, nlb, maxblk, c, n, w))
+        return (np.full((n, w, s, c), np.inf, np.float32),
+                np.full((n, w, s, c), np.inf, np.float32))
+
+    def spy_gang(pidx, tables, tvecs, xts, lens, starts, codes_all, *,
+                 kappa=None, nlb=None, interpret=False):
+        n, w = xts.shape[0], xts.shape[1]
+        keys.add(("gang", tables.shape[2], nlb, n, w))
+        return (np.full((n, w), np.inf, np.float32),
+                np.full((n, w), np.inf, np.float32))
+
     monkeypatch.setattr(vp, "viterbi_scores_pairs_from_starts", spy_plain)
     monkeypatch.setattr(vp, "viterbi_scores_pairs_packed", spy_packed)
+    monkeypatch.setattr(vp, "viterbi_scores_pairs_chained", spy_chained)
+    monkeypatch.setattr(vp, "viterbi_scores_pairs_packed_chained",
+                        spy_pchained)
+    monkeypatch.setattr(vp, "_gather_scores_pairs_hbm_mixed_jit", spy_gang)
     return keys
 
 
