@@ -79,8 +79,16 @@ def tunnel_health() -> dict:
         float(np.asarray(x + 1).sum())
         samples.append(time.perf_counter() - t0)
     samples.sort()
+    # upload bandwidth: an 8 MB host->device put (the same session saw
+    # ~216 MB/s drop to ~75 MB/s, which dominates any per-wave upload)
+    buf = np.ones((2 << 20,), np.float32)
+    jax.device_put(buf[:8]).block_until_ready()
+    t0 = time.perf_counter()
+    jax.device_put(buf).block_until_ready()
+    up_s = time.perf_counter() - t0
     return {"rt_ms_median": round(samples[len(samples) // 2] * 1e3, 2),
             "rt_ms_min": round(samples[0] * 1e3, 2),
+            "upload_mb_s": round(buf.nbytes / 2**20 / up_s, 1),
             "device": jax.devices()[0].device_kind}
 
 

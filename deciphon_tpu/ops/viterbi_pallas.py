@@ -57,9 +57,13 @@ W = 8  # windows per group (sublane dim)
 HBM_STATE_BYTES_PER_LANE = 92
 # Mosaic's scoped-VMEM default (16 MB) is far below v5e's physical VMEM
 # (128 MB): raise the per-kernel limit so big-Kp tables double-buffer and
-# wide window groups fit.  64 MB leaves headroom for XLA's own buffers in
-# the surrounding fused program.
-VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+# wide window groups fit.  96 MB (round 5: the Kp=1920 packed-chain
+# plane at w=64 needs 67.8 MB of scoped VMEM once per-segment metadata
+# blocks are added) still leaves headroom for XLA's own buffers in the
+# surrounding fused program; a plane that genuinely exceeds physical
+# VMEM fails AT COMPILE TIME with the same scoped-allocation error, so
+# the limit is a budget, not a promise.
+VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 KAPPA = 32  # positions per l-block (codes SMEM block)
 KAPPA_PENDING = 40  # pending mode: must be a multiple of 5 (phase unroll)
 PREFETCH = False  # double-buffer emission gathers (measured slower on v5e)
@@ -371,7 +375,7 @@ CW = 8  # carry slots per pair (chain segment continuation, see below)
 
 def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
                     *refs, kappa, Kp, nlb_dim, w=W, chain=False,
-                    carry=False):
+                    carry=False, mixed=False):
     """Push/pending-accumulator formulation of the frame Viterbi.
 
     The pull form (_kernel) reads 5 ring slots per step and redoes the
@@ -442,6 +446,12 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     construction, because the code gather is START-indexed against the
     scan-global sequence table (the fragment content belongs to the
     next segment's positions of the same sequence)."""
+    if mixed:
+        # per-SLOT profiles: table_ref is the FLAT (P*1364, Kp) stack
+        # resident in VMEM, poff_ref (1, W) SMEM carries each slot's
+        # row offset (pidx * 1364), and tvec_ref is the pre-gathered
+        # per-slot (1, 8, W, Kp) plane
+        poff_ref, *refs = refs
     if carry:
         (reset_ref, cont_ref, cbig_in, csml_in, alt_ref, null_ref,
          cbig_out, csml_out, MA, PM, PI, PSM, ST, SS, Tfin, Rfin) = refs
@@ -460,6 +470,9 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
     def xtc(j):
         return xt[:, j:j + 1]
 
+    # mixed mode: tvec_ref block is (1, 8, W, Kp) pre-gathered per slot,
+    # so the same [0, TV_X] reads yield (W, Kp) planes that broadcast
+    # exactly like the single-profile (Kp,) vectors
     tv_mms = tvec_ref[0, TV_MMS]
     tv_ims = tvec_ref[0, TV_IMS]
     tv_dms = tvec_ref[0, TV_DMS]
@@ -539,7 +552,11 @@ def _kernel_pending(codes_ref, table_ref, tvec_ref, xt_ref, len_ref,
         for t in range(1, 6):
             for w in range(W):
                 c = codes_ref[0, 0, i_blk, t - 1, w]
-                MA[t - 1, w:w + 1, :] = table_ref[0, pl.ds(c, 1), :]
+                if mixed:
+                    MA[t - 1, w:w + 1, :] = table_ref[
+                        pl.ds(c + poff_ref[0, w], 1), :]
+                else:
+                    MA[t - 1, w:w + 1, :] = table_ref[0, pl.ds(c, 1), :]
 
         # -- push contributions of state j = l-1 ------------------------
         inner = jnp.minimum(jnp.minimum(sm + tv_mms, si + tv_ims),
@@ -806,6 +823,97 @@ def _scores_pairs_core(pidx, tables, tvecs, xts, lengths, codes, *,
 
 _scores_pairs_jit = functools.partial(jax.jit, static_argnames=(
     "kappa", "interpret", "mode", "prefetch"))(_scores_pairs_core)
+
+
+def _scores_pairs_mixed_vmem_core(pidx, tables, tvecs, xts, lengths,
+                                  codes, *, kappa, interpret):
+    """Mixed-profile pairs scoring with the WHOLE table stack VMEM-
+    resident: pidx is (NPAIR, W) — one profile per sublane SLOT.
+
+    The HBM-mixed gang tier (_scores_pairs_hbm_core mixed) materializes
+    every gathered emission block through HBM and measured 9-56 padded
+    GCUPS; when the bucket's stacked tables fit scoped VMEM (round 5
+    raised the limit to 96 MB — e.g. 4 x Kp2048 profiles = 44.7 MB),
+    the pending kernel's in-VMEM row gather runs the same mixed slots at
+    the plane-rate law's 58-115.  The per-slot transition vectors are
+    pre-gathered OUTSIDE the kernel (a tiny (N, 8, W, Kp) take)."""
+    P, _, Kp = tables.shape
+    NPAIR, NLB = codes.shape[0], codes.shape[1]
+    W = codes.shape[4]
+    if kappa % 5:
+        raise ValueError("pending mode requires kappa % 5 == 0")
+    tables_flat = tables.reshape(P * TABLE_SIZE, Kp)
+    poff = (pidx.astype(jnp.int32) * TABLE_SIZE)  # (N, W)
+    tvec_slot = jnp.take(tvecs, pidx, axis=0,
+                         mode="clip").transpose(0, 2, 1, 3)  # (N,8,W,Kp)
+    inner = functools.partial(_kernel_pending, kappa=kappa, Kp=Kp,
+                              nlb_dim=1, w=W, mixed=True)
+
+    def kernel(codes_ref, table_ref, tvec_ref, xt_ref, len_ref, poff_ref,
+               alt_ref, null_ref, *scratch):
+        inner(codes_ref, table_ref, tvec_ref, xt_ref, len_ref, poff_ref,
+              alt_ref, null_ref, *scratch)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NPAIR, NLB),
+        in_specs=[
+            pl.BlockSpec((1, 1, kappa, 5, W),
+                         lambda pair, nlb: (pair, nlb, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((P * TABLE_SIZE, Kp),
+                         lambda pair, nlb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, W, Kp),
+                         lambda pair, nlb: (pair, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, 16), lambda pair, nlb: (pair, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, 1), lambda pair, nlb: (pair, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda pair, nlb: (pair, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, W, 1), lambda pair, nlb: (pair, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 1), lambda pair, nlb: (pair, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # MA gather staging
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # PM pending M
+            pltpu.VMEM((5, W, Kp), jnp.float32),  # PI pending I
+            pltpu.VMEM((4, 5, W, 1), jnp.float32),  # PSM pending N J C R
+            pltpu.VMEM((3, W, Kp), jnp.float32),  # ST prev M/I/D
+            pltpu.VMEM((7, W, 1), jnp.float32),  # SS prev specials
+            pltpu.VMEM((W, 1), jnp.float32),  # T final
+            pltpu.VMEM((W, 1), jnp.float32),  # R final
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((NPAIR, 1, W, 1), jnp.float32),
+        jax.ShapeDtypeStruct((NPAIR, 1, W, 1), jnp.float32),
+    ]
+    alt, nul = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(codes, tables_flat, tvec_slot, xts, lengths, poff)
+    return alt[:, 0, :, 0], nul[:, 0, :, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("kappa", "nlb", "interpret"))
+def _gather_scores_pairs_mixed_vmem_jit(pidx, tables, tvecs, xts, lengths,
+                                        starts, codes_all, *, kappa, nlb,
+                                        interpret):
+    """Mixed-profile VMEM-table scoring from device-resident codes:
+    pidx (N, W) — one profile PER SLOT (the gang tier's fast path)."""
+    ck = _ck_from_starts(codes_all, starts, nlb, kappa)
+    return _scores_pairs_mixed_vmem_core(pidx, tables, tvecs, xts,
+                                         lengths, ck, kappa=kappa,
+                                         interpret=interpret)
 
 
 def _ck_from_starts(codes_all, starts, nlb, kappa):

@@ -134,15 +134,20 @@ def _scores_packed_shmap(mesh: Mesh, kappa: int, nlb: int, nseg: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _scores_gang_shmap(mesh: Mesh, kappa: int, nlb: int, interpret: bool):
-    """Mesh-jitted mixed-profile HBM gang wave: group dim sharded,
-    table stack replicated."""
+def _scores_gang_shmap(mesh: Mesh, kappa: int, nlb: int, interpret: bool,
+                       vmem: bool = False):
+    """Mesh-jitted mixed-profile gang wave: group dim sharded, table
+    stack replicated.  vmem=True runs the VMEM-resident mixed pending
+    kernel (scheduler MIXED_VMEM_TABLE_BUDGET gate) instead of the
+    HBM-gather block kernel."""
     from ..ops import viterbi_pallas as vp
 
+    inner = (vp._gather_scores_pairs_mixed_vmem_jit if vmem
+             else vp._gather_scores_pairs_hbm_mixed_jit)
+
     def fn(pidx, tables, tvecs, xts, lens, starts, codes_all):
-        return vp._gather_scores_pairs_hbm_mixed_jit(
-            pidx, tables, tvecs, xts, lens, starts, codes_all,
-            kappa=kappa, nlb=nlb, interpret=interpret)
+        return inner(pidx, tables, tvecs, xts, lens, starts, codes_all,
+                     kappa=kappa, nlb=nlb, interpret=interpret)
 
     sh, rep = P(MESH_AXIS), P()
     return jax.jit(jax.shard_map(
@@ -282,8 +287,11 @@ class MultiDevicePairScorer(PairScorer):
             starts = np.pad(starts, ((0, npad), (0, 0)),
                             constant_values=self.dev_codes.pad_start)
         sh = NamedSharding(self.mesh, P(MESH_AXIS))
+        vmem = (not self.hbm_table and not self.stream_tables
+                and self._tables_host.nbytes
+                <= self.MIXED_VMEM_TABLE_BUDGET)
         fn = _scores_gang_shmap(self.mesh, self.kappa, int(nlb),
-                                self.interpret)
+                                self.interpret, vmem=vmem)
         return fn(jax.device_put(pidx, sh), self.tables, self.tvecs,
                   jax.device_put(xts, sh), jax.device_put(lens, sh),
                   jax.device_put(starts, sh), self.dev_codes.dev)

@@ -47,6 +47,13 @@ def next_pow2(n: int) -> int:
     return p
 
 
+def prev_pow2(n: int) -> int:
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
+
+
 def _mass_p90(sorted_blks: np.ndarray) -> int:
     """Smallest window size covering >= 90% of total BLOCK mass.
 
@@ -742,45 +749,56 @@ class PairScorer:
                 while len(slots) < w_c and q:
                     slots.append(("norm", q.pop(0), None))
                 chunk_pairs.append((p_idx, slots))
-            chunks.append((chunk_pairs, conts, None))
+            chunks.append((chunk_pairs, conts, w_c))
             prev_pos = pos
 
         # leftover normal slots -> plain chain chunks ({64, 8, 1} dims,
         # byte-aware: the device-side code gather materializes
         # (N, cap, kappa, 5, w) int32 per chunk — at wide w a 64-group
-        # chunk can reach GBs, so drop to 8-group chunks then)
-        pairs: list[tuple[int, list]] = []
+        # chunk can reach GBs, so drop to 8-group chunks then).  Pairs
+        # whose slot count fits the NARROW width ride a w/4 variant:
+        # the kernel's in-block skip makes pad GROUPS free but not empty
+        # SLOTS, so a tail wave with a handful of chains per profile
+        # pays maxslot * w * Kp at full width (round-5 fill ledger,
+        # fills of 0.01-0.05 on every tail chunk).  One extra pinned
+        # width per scorer bounds the program count.
+        w_n = max(8, w_c // 4)
+        by_width: dict[int, list[tuple[int, list]]] = {w_c: [], w_n: []}
         for p_idx in sorted(slotq):
             slots = slotq[p_idx]
             for i in range(0, len(slots), w_c):
-                pairs.append((p_idx,
-                              [("norm", s, None)
-                               for s in slots[i:i + w_c]]))
-        per_group = cap * kappa * 5 * w_c * 4
-        sizes = chunk_sizes(len(pairs))
-        if NCHUNK * per_group > self.INFLIGHT_BYTES // 2:
-            sizes = [s for size in sizes
-                     for s in ([8] * (size // 8) + ([size % 8] if size % 8
-                                                    else [])
-                               if size == NCHUNK else [size])]
-        i0 = 0
-        for size in sizes:
-            chunks.append((pairs[i0:i0 + size], None, None))
-            i0 += size
+                part = [("norm", s, None) for s in slots[i:i + w_c]]
+                wb = w_n if (w_n < w_c and len(part) <= w_n) else w_c
+                by_width[wb].append((p_idx, part))
+        for wb in (w_c, w_n):
+            pairs = by_width[wb]
+            if not pairs:
+                continue
+            per_group = cap * kappa * 5 * wb * 4
+            sizes = chunk_sizes(len(pairs))
+            if NCHUNK * per_group > self.INFLIGHT_BYTES // 2:
+                sizes = [s for size in sizes
+                         for s in ([8] * (size // 8)
+                                   + ([size % 8] if size % 8 else [])
+                                   if size == NCHUNK else [size])]
+            i0 = 0
+            for size in sizes:
+                chunks.append((pairs[i0:i0 + size], None, wb))
+                i0 += size
 
         results: dict[int, tuple[float, float]] = {}
         inflight_bytes = 0
         carry_prev = None  # (cbig, csml, N_src_pad) of the prior seg chunk
-        for ci_chunk, (chunk, conts, _) in enumerate(chunks):
+        for ci_chunk, (chunk, conts, w_ck) in enumerate(chunks):
             is_seg = ci_chunk < T
             t0 = time.perf_counter()
             N = pad_groups(len(chunk))
             pidx = np.zeros((N,), np.int32)
-            sblk = np.zeros((N, w_c, cmax), np.int32)
-            wlen = np.zeros((N, w_c, cmax), np.int32)
-            gst = np.full((N, w_c, cmax), self.dev_codes.pad_start,
+            sblk = np.zeros((N, w_ck, cmax), np.int32)
+            wlen = np.zeros((N, w_ck, cmax), np.int32)
+            gst = np.full((N, w_ck, cmax), self.dev_codes.pad_start,
                           np.int32)
-            xti = np.zeros((N, w_c, cmax), np.int32)
+            xti = np.zeros((N, w_ck, cmax), np.int32)
             groups = []
             for gi, (p_idx, slots) in enumerate(chunk):
                 pidx[gi] = p_idx
@@ -834,23 +852,23 @@ class PairScorer:
                     np.asarray(alt).sum()
                     Kp = self._tables_host.shape[2]
                     name = (f"bkt_chain{'seg' if is_seg else ''}_kp{Kp}"
-                            f"_cap{cap}_n{N}_w{w_c}")
+                            f"_cap{cap}_n{N}_w{w_ck}")
                     m.add_wall(name, time.perf_counter() - t2)
                     true = int((wlen.sum(axis=(1, 2)).astype(np.int64)
                                 * 5 * self._Ks[pidx]).sum())
                     m.add_bucket_cells(name, true,
-                                       N * w_c * cap * kappa * 5 * Kp)
+                                       N * w_ck * cap * kappa * 5 * Kp)
                     if os.environ.get("DECIPHON_FILL_DEBUG"):
                         blocks = -(-wlen // kappa)
                         slot_blocks = blocks.sum(axis=2)
                         print(f"FILL {name}: groups={len(chunk)}/{N} "
                               f"slots_used={int((slot_blocks > 0).sum())}"
-                              f"/{N * w_c} "
+                              f"/{N * w_ck} "
                               f"blocks={int(blocks.sum())}"
-                              f"/{N * w_c * cap} "
+                              f"/{N * w_ck * cap} "
                               f"maxslot={int(slot_blocks.max())}",
                               flush=True)
-            nbytes = N * cap * kappa * 5 * w_c * 4
+            nbytes = N * cap * kappa * 5 * w_ck * 4
             inflight.append((_ChainChunk(groups), alt, nul, nbytes))
             inflight_bytes += nbytes
             while inflight_bytes > self.INFLIGHT_BYTES and len(inflight) > 1:
@@ -918,7 +936,11 @@ class PairScorer:
                     if _sync_debug():
                         np.asarray(alt).sum()
                         Kp = self._tables_host.shape[2]
-                        name = f"bkt_gang_kp{Kp}_nlb{nlb}_n{N}_w{wg}"
+                        vm = (not self.hbm_table and not self.stream_tables
+                              and self._tables_host.nbytes
+                              <= self.MIXED_VMEM_TABLE_BUDGET)
+                        name = (f"bkt_gang{'v' if vm else ''}_kp{Kp}"
+                                f"_nlb{nlb}_n{N}_w{wg}")
                         m.add_wall(name, time.perf_counter() - t2)
                         true = int((lens[:, :, 0].astype(np.int64) * 5
                                     * self._Ks[pidx]).sum())
@@ -930,10 +952,26 @@ class PairScorer:
                                 alt, nul, nbytes))
         return entries
 
+    # Table-stack bytes below which the mixed-profile gang runs the
+    # VMEM-resident pending kernel instead of the HBM-gather block
+    # kernel: the HBM path materializes every gathered emission block
+    # through HBM (measured 9-56 padded GCUPS); VMEM gathers track the
+    # plane-rate law (58-115).  Budget leaves the 96 MB scoped limit
+    # room for the DP state, per-slot tvec planes and MA staging.
+    MIXED_VMEM_TABLE_BUDGET = 48 << 20
+
     def _invoke_scores_gang(self, pidx, xts, lens, starts, nlb):
-        """Mixed-profile HBM scoring call (one profile PER SLOT)."""
+        """Mixed-profile scoring call (one profile PER SLOT)."""
         import jax.numpy as jnp
 
+        if (not self.hbm_table and not self.stream_tables
+                and self._tables_host.nbytes
+                <= self.MIXED_VMEM_TABLE_BUDGET):
+            return self._vp._gather_scores_pairs_mixed_vmem_jit(
+                jnp.asarray(pidx), self.tables, self.tvecs,
+                jnp.asarray(xts), jnp.asarray(lens), jnp.asarray(starts),
+                self.dev_codes.dev, kappa=self.kappa, nlb=int(nlb),
+                interpret=self.interpret)
         return self._vp._gather_scores_pairs_hbm_mixed_jit(
             jnp.asarray(pidx), self.tables, self.tvecs,
             jnp.asarray(xts), jnp.asarray(lens), jnp.asarray(starts),
@@ -1378,26 +1416,40 @@ class PackedPairScorer:
         if self._xt_lut_dev is None:
             self._xt_lut_dev = jnp.asarray(self._xt_lut)
 
+        # narrow-width variant for tail chunks (see _dispatch_chained):
+        # empty SLOTS are not skipped in-kernel, so sparse pack-groups
+        # ride a w/4 plane instead of paying maxslot * w * Kp
+        w_n = max(8, w_c // 4)
+        by_width: dict[int, list] = {w_c: [], w_n: []}
+        for pack, slots in pairs:
+            wb = w_n if (w_n < w_c and len(slots) <= w_n) else w_c
+            by_width[wb].append((pack, slots))
         entries: list = []
-        sizes = chunk_sizes(len(pairs))
-        per_group = cap * kappa * 5 * w_c * 4
-        if NCHUNK * per_group > self.INFLIGHT_BYTES // 2:
-            sizes = [s for size in sizes
-                     for s in ([8] * (size // 8) + ([size % 8] if size % 8
-                                                    else [])
-                               if size == NCHUNK else [size])]
-        i0 = 0
-        for size in sizes:
-            chunk = pairs[i0:i0 + size]
-            i0 += size
+        chunks: list[tuple[list, int]] = []
+        for wb in (w_c, w_n):
+            wpairs = by_width[wb]
+            if not wpairs:
+                continue
+            sizes = chunk_sizes(len(wpairs))
+            per_group = cap * kappa * 5 * wb * 4
+            if NCHUNK * per_group > self.INFLIGHT_BYTES // 2:
+                sizes = [s for size in sizes
+                         for s in ([8] * (size // 8)
+                                   + ([size % 8] if size % 8 else [])
+                                   if size == NCHUNK else [size])]
+            i0 = 0
+            for size in sizes:
+                chunks.append((wpairs[i0:i0 + size], wb))
+                i0 += size
+        for chunk, w_ck in chunks:
             t0 = time.perf_counter()
             N = pad_groups(len(chunk))
             pidx = np.zeros((N,), np.int32)
-            sblk = np.zeros((N, w_c, cmax), np.int32)
-            wlen = np.zeros((N, w_c, cmax), np.int32)
-            gst = np.full((N, w_c, cmax), self.dev_codes.pad_start,
+            sblk = np.zeros((N, w_ck, cmax), np.int32)
+            wlen = np.zeros((N, w_ck, cmax), np.int32)
+            gst = np.full((N, w_ck, cmax), self.dev_codes.pad_start,
                           np.int32)
-            xti = np.zeros((N, w_c, cmax), np.int32)
+            xti = np.zeros((N, w_ck, cmax), np.int32)
             groups = []
             for gi, (pack, slots) in enumerate(chunk):
                 pidx[gi] = pack
@@ -1425,13 +1477,14 @@ class PackedPairScorer:
                 if _sync_debug():
                     np.asarray(alt).sum()
                     name = (f"bkt_pchain_kp{self.Kp}_s{self.nseg}"
-                            f"_cap{cap}_n{N}_w{w_c}")
+                            f"_cap{cap}_n{N}_w{w_ck}")
                     m.add_wall(name, time.perf_counter() - t2)
                     true = int((wlen.sum(axis=(1, 2)).astype(np.int64)
                                 * 5 * self._pack_ksum[pidx]).sum())
                     m.add_bucket_cells(name, true,
-                                       N * w_c * cap * kappa * 5 * self.Kp)
-            nbytes = N * cap * kappa * 5 * w_c * 4
+                                       N * w_ck * cap * kappa * 5
+                                       * self.Kp)
+            nbytes = N * cap * kappa * 5 * w_ck * 4
             entries.append((_PackedChainChunk(groups), alt, nul, nbytes))
         return leftover, entries
 
@@ -1680,11 +1733,15 @@ class BucketedPairScorer:
     """
 
     # Largest lane width whose (1364, Kp) f32 emission table plus the
-    # kernel's ring/gather scratch still fits ~16 MB of VMEM.  Profiles
-    # beyond it (reference limit: K <= 16384, c-core/model.h:12) route to
-    # the HBM-table kernel, which streams emission rows per position.
-    # Compile-verified on TPU v5e at Kp=2048 (pairs kernel, W=8).
-    MAX_PALLAS_KP = 2048
+    # kernel's ring/gather scratch fits the raised 96 MB scoped-VMEM
+    # limit (viterbi_pallas.VMEM_LIMIT_BYTES; the old 2048 bound dates
+    # from the 16 MB era): Kp=5120 is a 27.9 MB table + ~12 MB state at
+    # w=32.  Profiles beyond it (reference limit: K <= 16384,
+    # c-core/model.h:12) route to the HBM-table kernel, which streams
+    # emission rows per position at 60-75 padded GCUPS vs the VMEM
+    # tiers' 110-220 — so K=4608 (the bench's big-K profile) moving
+    # under the bound roughly halves its tier's wall.
+    MAX_PALLAS_KP = 5120
     # The kernel is latency-bound per DP step, so throughput scales with
     # the window-group width w until VMEM runs out: cap w * Kp (the size
     # of each (w, Kp) state plane) at this budget.  Round 5 raised the
@@ -1747,7 +1804,8 @@ class BucketedPairScorer:
         def default_factory(costs):
             kp = vp.common_kp(costs)
             wb = w if w is not None else max(
-                8, min(self.w_cap(kp), self.W_LANE_BUDGET // kp))
+                8, prev_pow2(min(self.w_cap(kp),
+                                 self.W_LANE_BUDGET // kp)))
             return make(costs, wb, False)
 
         def hbm_factory(costs):
@@ -1849,6 +1907,12 @@ class BucketedPairScorer:
             b = 128
             while b < kp:
                 b *= 2
+            # past 2048 the pow2 ladder wastes up to half the lanes AND
+            # kicks profiles that still fit VMEM (Kp <= MAX_PALLAS_KP
+            # under the 96 MB scoped limit) onto the 60-75 GCUPS
+            # HBM-streamed tier: quantize big K at 512 lanes instead
+            if b > 2048:
+                b = vp.round_up(kp, 512)
             buckets.setdefault(b, []).append(i)
         for b, idxs in sorted(buckets.items()):
             for local, gi in enumerate(idxs):

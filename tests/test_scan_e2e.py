@@ -106,6 +106,33 @@ def test_engine_equivalence_pallas_interpret(minifam_profiles,
     assert open(out_j).read() == open(out_p).read()
 
 
+def test_bigk_vmem_bucket_equivalence(tmp_path):
+    """K past the pow2-2048 rung but under MAX_PALLAS_KP rides the
+    512-quantized VMEM chain bucket (round 5: the 96 MB scoped limit
+    fits a Kp=5120 table; the HBM-streamed tier starts beyond).
+    Products must equal the jax oracle engine's."""
+    import numpy as np
+
+    from deciphon_tpu.profile import sample_profile
+    from deciphon_tpu.scan.scheduler import BucketedPairScorer
+    from deciphon_tpu.scan.sequence import Sequence
+
+    profiles = [sample_profile(seed=81, core_size=2300)]
+    rng = np.random.default_rng(13)
+    seqs = [Sequence.make(0, "r0", "".join(
+        "ACGT"[b] for b in rng.integers(0, 4, size=2000)))]
+    out_j = Scanner(profiles, ScanConfig(engine="jax")).run(
+        seqs, str(tmp_path / "jax"))
+    sc = Scanner(profiles, ScanConfig(engine="pallas-interpret"))
+    out_p = sc.run(seqs, str(tmp_path / "pal"))
+    assert open(out_j).read() == open(out_p).read()
+    # and it must be a VMEM (non-HBM) scorer (the 512-quantized bucket
+    # groups profiles; the scorer's Kp is its members' 128-aligned need)
+    assert 2048 < 2302 <= BucketedPairScorer.MAX_PALLAS_KP
+    s = sc.scorer.scorers[0]
+    assert not s.hbm_table and s._tables_host.shape[2] == 2304
+
+
 def test_uniform_k_pack_windowed_reads_equivalence(tmp_path):
     """Same-K profiles share WINDOW boundaries, so their windowed reads
     ride the packed chain tier (scheduler _uniform_pack); products must

@@ -64,6 +64,7 @@ def _spy_workload(monkeypatch):
     monkeypatch.setattr(vp, "viterbi_scores_pairs_packed_chained",
                         spy_pchained)
     monkeypatch.setattr(vp, "_gather_scores_pairs_hbm_mixed_jit", spy_gang)
+    monkeypatch.setattr(vp, "_gather_scores_pairs_mixed_vmem_jit", spy_gang)
     return keys
 
 
