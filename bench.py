@@ -784,8 +784,10 @@ def main() -> None:
                     help="reads in the survivor-heavy phase-2 bench")
     ap.add_argument("--pfam-profiles", type=int, default=500,
                     help="profiles in the realistic-DB-scale scan bench")
-    ap.add_argument("--pfam-reads", type=int, default=8,
-                    help="10 knt reads in the realistic-DB-scale bench")
+    ap.add_argument("--pfam-reads", type=int, default=24,
+                    help="10 knt reads in the realistic-DB-scale bench "
+                         "(deep enough that per-profile chains fill wide "
+                         "slot planes, as real scans do)")
     ap.add_argument("--quality-domains", type=int, default=24,
                     help="planted domains in the recall bench (3/read)")
     ap.add_argument("--kernel-sweep", type=int, default=1,

@@ -289,7 +289,15 @@ class Scanner:
                 refill(key)
             finish_ready()
 
-        cap = self.config.max_pairs * 8
+        # Wave size scales with the profile count: the kernel's padded
+        # rate grows with slot width, and each profile's slots can only
+        # fill from ITS OWN items in the wave — at 500 profiles a flat
+        # 2048-item wave leaves ~4 windows per profile and every chain
+        # pins w=8 (round-5 Pfam-scale measurement: 74 vs 216 padded
+        # GCUPS at Kp2048 for w=8 vs w=64 planes).  64 slots per profile
+        # is the width where the plane-rate curve flattens; device
+        # memory stays bounded by the in-flight byte drain.
+        cap = max(self.config.max_pairs * 8, P * 64)
         can_pipeline = hasattr(self.scorer, "dispatch_all")
 
         def assemble() -> list[PairItem]:
